@@ -1,0 +1,184 @@
+"""Configuration for smmdax.
+
+The field names deliberately mirror the reference CLI flag set
+(SURVEY.md section 2, component #1: the ``tf.app.flags`` definitions of
+the reference ``main.py`` — dataset, architecture, kernel, model,
+batch_size, real_batch_size, output_size, c_dim, z_dim, gf_dim, df_dim,
+dof_dim, learning_rate, beta1, beta2, dsteps, gsteps, start_dsteps,
+gradient_penalty, L2_discriminator_penalty, with_scaling, scaling_coeff,
+scaling_variant, with_sn, max_iteration, MMD_lr_scheduler, decay_rate,
+compute_scores, no_of_samples, is_train, visualize, log, data_dir,
+checkpoint_dir, sample_dir, log_dir, random_seed, suffix) so a user of
+the reference can switch over without relearning the surface.
+
+Unlike the reference (a TF1 flags blob mutated at import time) this is a
+frozen dataclass: configs are values, pass them around, jit over them as
+static arguments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+# Kernel mixture constants of the reference lineage (SURVEY.md #3):
+# gaussian/RBF bandwidths and rational-quadratic alphas.
+DEFAULT_RBF_SIGMAS: Tuple[float, ...] = (1.0, 2.0, 4.0, 8.0, 16.0)
+DEFAULT_RQ_ALPHAS: Tuple[float, ...] = (0.2, 0.5, 1.0, 2.0, 5.0)
+
+LOSSES = ("mmd", "tmmd", "smmd", "sn-smmd", "wgan-gp")
+KERNELS = ("gaussian", "rq", "dot", "distance")
+ARCHS = ("dcgan", "resnet")
+DATASETS = ("cifar10", "celeba", "imagenet64", "lsun", "mnist",
+            "gaussian_mix", "synthetic")
+SCALING_VARIANTS = ("grad", "value_and_grad")
+GP_VARIANTS = ("one_sided", "two_sided")
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- model selection -------------------------------------------------
+    model: str = "mmd"              # loss family: mmd|tmmd|smmd|sn-smmd|wgan-gp
+    kernel: str = "rq"              # gaussian|rq|dot|distance
+    architecture: str = "dcgan"     # dcgan|resnet
+    dataset: str = "cifar10"
+
+    # --- shapes -----------------------------------------------------------
+    batch_size: int = 64            # generated (fake) batch per step, per replica
+    real_batch_size: int = 64       # real batch per step, per replica
+    output_size: int = 32           # image H=W
+    c_dim: int = 3                  # image channels
+    z_dim: int = 128                # latent dim
+    gf_dim: int = 64                # generator base width
+    df_dim: int = 64                # critic base width
+    dof_dim: int = 16               # critic output feature dim (MMD acts on this)
+
+    # --- optimization -----------------------------------------------------
+    learning_rate: float = 1e-4
+    g_learning_rate: Optional[float] = None   # default: learning_rate
+    d_learning_rate: Optional[float] = None   # default: learning_rate
+    beta1: float = 0.5
+    beta2: float = 0.9
+    dsteps: int = 5                 # critic updates per generator update
+    gsteps: int = 1
+    start_dsteps: int = 10          # extra critic warm-up updates for early steps
+    warmup_iterations: int = 500    # steps using start_dsteps instead of dsteps
+    max_iteration: int = 150_000
+
+    # --- regularizers -----------------------------------------------------
+    gradient_penalty: float = 0.0        # witness-gradient / WGAN-GP weight
+    gp_variant: str = "one_sided"        # one_sided | two_sided
+    L2_discriminator_penalty: float = 0.0
+    with_scaling: bool = False           # scaled-MMD normalizer (set by model=smmd)
+    scaling_coeff: float = 10.0          # lambda in sigma = lambda + E||dD/dx||^2
+    scaling_variant: str = "grad"        # grad | value_and_grad
+    with_sn: bool = False                # spectral norm on critic (set by sn-smmd)
+    sn_iters: int = 1                    # power-iteration steps per update
+
+    # --- kernel mixture constants ------------------------------------------
+    rbf_sigmas: Tuple[float, ...] = DEFAULT_RBF_SIGMAS
+    rq_alphas: Tuple[float, ...] = DEFAULT_RQ_ALPHAS
+
+    # --- LR scheduling (KID-driven three-sample test, SURVEY.md #11) -------
+    MMD_lr_scheduler: bool = True
+    decay_rate: float = 0.8
+    lr_decay_steps: int = 0              # optional fixed exponential decay interval
+
+    # --- eval / scoring -----------------------------------------------------
+    compute_scores: bool = False
+    score_every: int = 2000
+    no_of_samples: int = 25_000
+    score_subset_size: int = 1000        # KID block size
+    score_subsets: int = 50              # KID number of subsets
+
+    # --- parallelism (new capability; reference was single-GPU) ------------
+    num_data_shards: int = 1             # data-parallel mesh size (1 = single chip)
+    global_batch_mmd: bool = True        # MMD over the global batch (all-gather feats)
+    use_ring_mmd: bool = False           # block-row ring estimator over ICI
+    use_pallas: bool = False             # Pallas fused kernel+MMD hot path
+    compute_dtype: str = "float32"       # bfloat16 for MXU-heavy conv paths
+
+    # --- bookkeeping --------------------------------------------------------
+    is_train: bool = True
+    visualize: bool = False
+    log: bool = True
+    log_every: int = 100
+    sample_every: int = 1000
+    checkpoint_every: int = 2000
+    data_dir: str = "./data"
+    checkpoint_dir: str = "./checkpoints"
+    sample_dir: str = "./samples"
+    log_dir: str = "./logs"
+    random_seed: int = 42
+    suffix: str = ""
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        if self.model not in LOSSES:
+            raise ValueError(f"model must be one of {LOSSES}, got {self.model!r}")
+        if self.kernel not in KERNELS:
+            raise ValueError(f"kernel must be one of {KERNELS}, got {self.kernel!r}")
+        if self.architecture not in ARCHS:
+            raise ValueError(f"architecture must be one of {ARCHS}")
+        if self.scaling_variant not in SCALING_VARIANTS:
+            raise ValueError(f"scaling_variant must be one of {SCALING_VARIANTS}")
+        if self.gp_variant not in GP_VARIANTS:
+            raise ValueError(f"gp_variant must be one of {GP_VARIANTS}")
+        # model implies regularizer wiring, mirroring the reference dispatch
+        if self.model in ("smmd", "sn-smmd") and not self.with_scaling:
+            object.__setattr__(self, "with_scaling", True)
+        if self.model == "sn-smmd" and not self.with_sn:
+            object.__setattr__(self, "with_sn", True)
+
+    # Resolved learning rates ------------------------------------------------
+    @property
+    def lr_g(self) -> float:
+        return self.learning_rate if self.g_learning_rate is None else self.g_learning_rate
+
+    @property
+    def lr_d(self) -> float:
+        return self.learning_rate if self.d_learning_rate is None else self.d_learning_rate
+
+    @property
+    def image_shape(self) -> Tuple[int, int, int]:
+        return (self.output_size, self.output_size, self.c_dim)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def run_name(self) -> str:
+        tag = f"{self.dataset}_{self.architecture}_{self.model}_{self.kernel}_b{self.batch_size}"
+        return tag + (f"_{self.suffix}" if self.suffix else "")
+
+
+def _add_bool(p: argparse.ArgumentParser, name: str, default: bool, help: str = ""):
+    p.add_argument(f"--{name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                   default=default, help=help)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """CLI mirroring the reference ``main.py`` flag names (SURVEY.md #1)."""
+    p = argparse.ArgumentParser("smmdax", description=__doc__)
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
+            _add_bool(p, f.name, getattr(defaults, f.name))
+        elif f.name in ("rbf_sigmas", "rq_alphas"):
+            p.add_argument(f"--{f.name}", type=float, nargs="+",
+                           default=list(getattr(defaults, f.name)))
+        elif f.name in ("g_learning_rate", "d_learning_rate"):
+            p.add_argument(f"--{f.name}", type=float, default=None)
+        else:
+            p.add_argument(f"--{f.name}", type=type(getattr(defaults, f.name)),
+                           default=getattr(defaults, f.name))
+    return p
+
+
+def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
+    ns = build_argparser().parse_args(argv)
+    kw = vars(ns)
+    kw["rbf_sigmas"] = tuple(kw["rbf_sigmas"])
+    kw["rq_alphas"] = tuple(kw["rq_alphas"])
+    return Config(**kw)

@@ -1,0 +1,10 @@
+"""Test env: run on CPU with 8 virtual devices so multi-chip sharding
+paths are exercised without TPU hardware (SURVEY.md §4/§7)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
