@@ -1,10 +1,20 @@
 """Test env: run on CPU with 8 virtual devices so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md §4/§7)."""
+paths are exercised without TPU hardware (SURVEY.md §4/§7).
+
+NOTE: in this image a sitecustomize pre-imports jax and registers the
+axon TPU plugin before pytest starts, so plain ``os.environ`` settings
+are too late.  ``jax.config.update('jax_platforms', ...)`` still works
+as long as no backend has been initialized, and the CPU client reads
+``XLA_FLAGS`` at backend-init time, so both are applied here, at
+conftest import, before any test touches a device.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
