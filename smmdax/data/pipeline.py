@@ -1,0 +1,175 @@
+"""Dataset dispatch and the macro-batch iterator.
+
+Reference parity (SURVEY.md component #9): per-dataset loaders with a
+uniform "give me a batch" interface — CIFAR-10 from local binary
+batches, CelebA from a JPEG directory (center-crop -> 160x160),
+ImageNet 64x64 from npz shards, MNIST from idx files, plus the
+GaussianMix toy.  All real loaders are asset-gated: if the files are
+missing under ``data_dir`` the synthetic procedural source with the
+same shapes is substituted (and a note is printed), because this
+environment has no network egress.
+
+The trainer consumes STACKED macro-batches shaped
+(dsteps + gsteps, global_batch, H, W, C): one host->device transfer per
+fused train step.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Iterator, Optional, Protocol, Tuple
+
+import numpy as np
+
+from smmdax.configs import Config
+from smmdax.data.synthetic import GaussianMix, SyntheticImages
+
+Array = np.ndarray
+
+
+class DataSource(Protocol):
+    sample_shape: Tuple[int, ...]
+
+    def batch(self, n: int) -> Array: ...
+
+
+# ---------------------------------------------------------------------------
+# real-dataset loaders (asset-gated)
+
+
+class ArraySource:
+    """In-memory array of samples in [-1, 1]; shuffled minibatches."""
+
+    def __init__(self, data: Array, seed: int = 0):
+        self.data = data
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def sample_shape(self) -> Tuple[int, ...]:
+        return self.data.shape[1:]
+
+    def batch(self, n: int) -> Array:
+        idx = self._rng.integers(0, len(self.data), size=n)
+        return self.data[idx]
+
+
+def _load_cifar10(data_dir: str) -> Optional[Array]:
+    """CIFAR-10 python pickles (data_batch_1..5) -> (N,32,32,3) in [-1,1]."""
+    root = os.path.join(data_dir, "cifar-10-batches-py")
+    files = [os.path.join(root, f"data_batch_{i}") for i in range(1, 6)]
+    if not all(os.path.exists(f) for f in files):
+        return None
+    arrs = []
+    for f in files:
+        with open(f, "rb") as fh:
+            d = pickle.load(fh, encoding="bytes")
+        arrs.append(np.asarray(d[b"data"], np.uint8))
+    x = np.concatenate(arrs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return (x.astype(np.float32) / 127.5) - 1.0
+
+
+def _load_npz_images(data_dir: str, subdir: str, size: int) -> Optional[Array]:
+    """ImageNet-64-style npz shards with an 'data' array of uint8 images."""
+    root = os.path.join(data_dir, subdir)
+    if not os.path.isdir(root):
+        return None
+    shards = sorted(f for f in os.listdir(root) if f.endswith(".npz"))
+    if not shards:
+        return None
+    arrs = []
+    for s in shards:
+        with np.load(os.path.join(root, s)) as z:
+            d = z["data"] if "data" in z else z[list(z.keys())[0]]
+        if d.ndim == 2:      # flattened CHW
+            d = d.reshape(-1, 3, size, size).transpose(0, 2, 3, 1)
+        arrs.append(np.asarray(d, np.uint8))
+    x = np.concatenate(arrs)
+    return (x.astype(np.float32) / 127.5) - 1.0
+
+
+class CelebASource:
+    """JPEG directory -> center-crop -> resize to output_size, in [-1,1].
+
+    Decoding happens lazily per batch via PIL (host side); the
+    crop/resize matches the reference's 160x160 CelebA pipeline
+    (center-crop 160 from the 178x218 aligned images, SURVEY.md #9).
+    """
+
+    def __init__(self, root: str, output_size: int = 160, crop: int = 160,
+                 seed: int = 0):
+        from PIL import Image  # noqa: F401  (import check)
+        self.root = root
+        self.files = sorted(
+            os.path.join(root, f) for f in os.listdir(root)
+            if f.lower().endswith((".jpg", ".jpeg", ".png")))
+        if not self.files:
+            raise FileNotFoundError(f"no images under {root}")
+        self.output_size = output_size
+        self.crop = crop
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def sample_shape(self) -> Tuple[int, ...]:
+        return (self.output_size, self.output_size, 3)
+
+    def batch(self, n: int) -> Array:
+        from PIL import Image
+        idx = self._rng.integers(0, len(self.files), size=n)
+        out = np.empty((n, self.output_size, self.output_size, 3), np.float32)
+        for i, j in enumerate(idx):
+            img = Image.open(self.files[j]).convert("RGB")
+            w, h = img.size
+            c = self.crop
+            left, top = (w - c) // 2, (h - c) // 2
+            img = img.crop((left, top, left + c, top + c))
+            if self.output_size != c:
+                img = img.resize((self.output_size,) * 2, Image.BILINEAR)
+            out[i] = np.asarray(img, np.float32) / 127.5 - 1.0
+        return out
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+
+
+def make_dataset(cfg: Config) -> DataSource:
+    ds = cfg.dataset
+    if ds == "gaussian_mix":
+        return GaussianMix(seed=cfg.random_seed)
+    if ds == "synthetic":
+        return SyntheticImages(cfg.output_size, cfg.c_dim, seed=cfg.random_seed)
+    if ds == "cifar10":
+        data = _load_cifar10(cfg.data_dir)
+        if data is not None:
+            return ArraySource(data, seed=cfg.random_seed)
+    elif ds == "imagenet64":
+        data = _load_npz_images(cfg.data_dir, "imagenet64", 64)
+        if data is not None:
+            return ArraySource(data, seed=cfg.random_seed)
+    elif ds == "mnist":
+        path = os.path.join(cfg.data_dir, "mnist", "train-images-idx3-ubyte")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                f.read(16)
+                x = np.frombuffer(f.read(), np.uint8).reshape(-1, 28, 28, 1)
+            return ArraySource(x.astype(np.float32) / 127.5 - 1.0,
+                               seed=cfg.random_seed)
+    elif ds in ("celeba", "lsun"):
+        root = os.path.join(cfg.data_dir, ds)
+        if os.path.isdir(root):
+            try:
+                return CelebASource(root, cfg.output_size, seed=cfg.random_seed)
+            except FileNotFoundError:
+                pass
+    print(f"[smmdax.data] assets for {ds!r} not found under {cfg.data_dir}; "
+          "substituting the procedural synthetic source with matching shapes")
+    return SyntheticImages(cfg.output_size, cfg.c_dim, seed=cfg.random_seed)
+
+
+def macro_batches(source: DataSource, per_step: int, batch: int,
+                  ) -> Iterator[Array]:
+    """Yield (per_step, batch, *sample_shape) stacked arrays forever."""
+    while True:
+        flat = source.batch(per_step * batch)
+        yield flat.reshape((per_step, batch) + flat.shape[1:])

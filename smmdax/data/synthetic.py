@@ -1,0 +1,87 @@
+"""Procedural data sources (offline stand-ins + the GaussianMix toy).
+
+``GaussianMix`` reproduces the reference's 1-D toy problem (SURVEY.md
+§3.5): samples from a mixture of 1-D Gaussians, used as the visual /
+smoke-test dataset.  ``SyntheticImages`` produces image batches with
+non-trivial low-dimensional structure (random smooth color blobs) so
+that training dynamics — MMD decreasing, critic learning — are
+exercised end-to-end without any downloadable asset.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+
+
+class GaussianMix:
+    """1-D Gaussian mixture; samples shaped (B, dim) in roughly [-1, 1].
+
+    Matches the toy in the reference lineage (means around {0, 3, 6, 9}
+    scaled down; we use means in [-0.8, 0.8] so outputs sit in the tanh
+    range of the generator).
+    """
+
+    def __init__(self, means: Sequence[float] = (-0.8, -0.3, 0.3, 0.8),
+                 stddev: float = 0.07, dim: int = 1, seed: int = 0):
+        self.means = np.asarray(means, np.float32)
+        self.stddev = float(stddev)
+        self.dim = dim
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def sample_shape(self) -> Tuple[int, ...]:
+        return (self.dim,)
+
+    def batch(self, n: int) -> Array:
+        comp = self._rng.integers(0, len(self.means), size=n)
+        x = self.means[comp][:, None] + self.stddev * self._rng.standard_normal(
+            (n, self.dim)).astype(np.float32)
+        return x.astype(np.float32)
+
+
+class SyntheticImages:
+    """Procedural image distribution: K random smooth blob prototypes
+    plus per-sample color jitter and spatial shift, normalized to
+    [-1, 1].  Cheap to sample, impossible to memorize trivially, and
+    shape-compatible with any of the real datasets."""
+
+    def __init__(self, size: int = 32, channels: int = 3,
+                 num_prototypes: int = 64, seed: int = 0):
+        self.size = size
+        self.channels = channels
+        self._rng = np.random.default_rng(seed)
+        # Prototype library: sums of random 2-D Gaussian bumps.
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        protos = np.zeros((num_prototypes, size, size, channels), np.float32)
+        for p in range(num_prototypes):
+            img = np.zeros((size, size, channels), np.float32)
+            for _ in range(self._rng.integers(2, 6)):
+                cx, cy = self._rng.uniform(0.15, 0.85, 2)
+                s = self._rng.uniform(0.05, 0.3)
+                bump = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+                color = self._rng.uniform(-1, 1, channels).astype(np.float32)
+                img += bump[..., None] * color
+            m = np.abs(img).max() + 1e-6
+            protos[p] = img / m
+        self.protos = protos
+
+    @property
+    def sample_shape(self) -> Tuple[int, ...]:
+        return (self.size, self.size, self.channels)
+
+    def batch(self, n: int) -> Array:
+        idx = self._rng.integers(0, len(self.protos), size=n)
+        imgs = self.protos[idx].copy()
+        # per-sample brightness/contrast jitter
+        gain = self._rng.uniform(0.7, 1.0, (n, 1, 1, 1)).astype(np.float32)
+        bias = self._rng.uniform(-0.1, 0.1, (n, 1, 1, 1)).astype(np.float32)
+        imgs = np.clip(imgs * gain + bias, -1.0, 1.0)
+        # per-sample circular shift (cheap spatial augmentation)
+        shifts = self._rng.integers(-4, 5, size=(n, 2))
+        for i in range(n):
+            imgs[i] = np.roll(imgs[i], tuple(shifts[i]), axis=(0, 1))
+        return imgs

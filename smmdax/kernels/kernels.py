@@ -147,6 +147,21 @@ def distance_kernel(x: Array, y: Array) -> KernelBlocks:
     return KernelBlocks(k_xx, k_xy, k_yy, diag)
 
 
+def kernel_cross(name: str, x: Array, y: Array, *,
+                 rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
+                 rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0)) -> Array:
+    """Just the (m, n) cross Gram block K_XY (used by the witness fn)."""
+    if name == "gaussian":
+        return _mix_rbf(sq_dists(x, y), rbf_sigmas, None)
+    if name == "rq":
+        return _mix_rq(sq_dists(x, y), rq_alphas, None)
+    if name == "dot":
+        return jnp.dot(x, y.T, **_F32)
+    if name == "distance":
+        return -jnp.sqrt(sq_dists(x, y) + 1e-8)
+    raise ValueError(f"unknown kernel {name!r}")
+
+
 def kernel_matrices(name: str, x: Array, y: Array, *,
                     rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
                     rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0)) -> KernelBlocks:

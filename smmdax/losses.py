@@ -1,0 +1,221 @@
+"""Loss dispatch: mmd | tmmd | smmd | sn-smmd | wgan-gp.
+
+Covers SURVEY.md components #4 (SMMD scaling) and #5 (witness gradient
+penalty & WGAN-GP), plus the loss-dispatch half of component #2
+(``set_loss`` in the reference's core/model.py).
+
+Design notes (TPU-first, not a port):
+
+* Losses are pure functions of a *critic closure* ``critic(x) ->
+  (B, dof_dim) features`` — parameters, spectral-norm state and
+  sharding all live in the closure built by ``smmdax.train``.  The
+  same functions therefore serve single-chip and shard_map'd
+  data-parallel steps (where ``critic`` internally all-gathers
+  features for the global-batch estimator).
+* Everything here is twice-differentiable: the witness penalty and
+  the SMMD normalizer differentiate through ``jax.grad`` of the conv
+  stack, and the d-step then differentiates *that* w.r.t. critic
+  params (double backprop, SURVEY.md §7 hard-part #1).  No custom_vjp
+  is needed — XLA handles the second-order graph.
+* Sign convention: both returned losses are MINIMIZED.  The critic
+  maximizes its objective, so ``d_loss`` is its negation plus
+  penalties.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from smmdax.configs import Config
+from smmdax.kernels import (KernelBlocks, kernel_cross, kernel_matrices,
+                            mmd2, mmd2_and_ratio)
+from smmdax.kernels.smmd import smmd_scale
+
+Array = jnp.ndarray
+Critic = Callable[[Array], Array]          # images -> (B, dof_dim) features
+
+
+class LossAux(NamedTuple):
+    """Diagnostics reported every step (reference: TB summaries)."""
+
+    mmd2: Array
+    sigma: Array          # SMMD normalizer (1.0 when scaling off)
+    gp: Array             # gradient penalty value (0.0 when off)
+    ratio: Array          # tmmd ratio (mmd2 when not tmmd)
+    critic_real: Array    # mean scalar critic on real (wgan diagnostics)
+    critic_fake: Array
+
+
+def _blocks(cfg: Config, f_fake: Array, f_real: Array) -> KernelBlocks:
+    return kernel_matrices(cfg.kernel, f_fake, f_real,
+                           rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+
+
+def _scalar_critic(features: Array) -> Array:
+    """WGAN view of the critic: sum of the feature head (== the scalar
+    output when dof_dim = 1, the reference's wgan configuration)."""
+    return jnp.sum(features, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# SMMD normalizer
+
+
+def sobolev_scale(cfg: Config, critic: Critic, real: Array) -> Array:
+    """sigma_{k,lambda} = lambda + E_real ||J_phi(x)||_F^2 (+ E||phi||^2).
+
+    The Frobenius norm of the critic-feature Jacobian is computed
+    exactly via ``jacrev`` (dof_dim cotangents, vectorized — dof_dim is
+    <= ~128 so this is a modest constant factor on the critic backward,
+    all MXU work).  SURVEY.md component #4.
+    """
+    def phi_single(x: Array) -> Array:
+        return critic(x[None])[0]                      # (dof_dim,)
+
+    jac = jax.vmap(jax.jacrev(phi_single))(real)       # (B, dof, H, W, C)
+    grad_sq = jnp.sum(jac * jac, axis=tuple(range(1, jac.ndim)))   # (B,)
+    value_sq = None
+    if cfg.scaling_variant == "value_and_grad":
+        feats = critic(real)
+        value_sq = jnp.sum(feats * feats, axis=-1)
+    return smmd_scale(grad_sq, value_sq, cfg.scaling_coeff, cfg.scaling_variant)
+
+
+# ---------------------------------------------------------------------------
+# Gradient penalties
+
+
+def _grad_norms(f: Callable[[Array], Array], x: Array) -> Array:
+    """Per-sample L2 norms of d f_i / d x_i for a batchwise-diagonal f."""
+    grads = jax.grad(lambda v: jnp.sum(f(v)))(x)       # (B, ...)
+    return jnp.sqrt(jnp.sum(grads * grads, axis=tuple(range(1, grads.ndim))) + 1e-12)
+
+
+def _penalize(norms: Array, variant: str) -> Array:
+    if variant == "one_sided":
+        return jnp.mean(jnp.square(jnp.maximum(norms - 1.0, 0.0)))
+    return jnp.mean(jnp.square(norms - 1.0))
+
+
+def witness_gradient_penalty(cfg: Config, critic: Critic,
+                             real: Array, fake: Array,
+                             f_real: Array, f_fake: Array,
+                             rng: jax.Array) -> Array:
+    """MMD-witness analog of WGAN-GP (Demystifying MMD GANs; SURVEY #5).
+
+    w(x') = E_fake k(phi(x'), phi(fake)) - E_real k(phi(x'), phi(real)),
+    penalized at per-sample interpolates x' = eps*real + (1-eps)*fake.
+    """
+    b = min(real.shape[0], fake.shape[0])
+    eps = jax.random.uniform(rng, (b,) + (1,) * (real.ndim - 1))
+    xhat = eps * real[:b] + (1.0 - eps) * fake[:b]
+
+    def witness(x: Array) -> Array:
+        fx = critic(x)                                   # (b, dof)
+        k_fake = kernel_cross(cfg.kernel, fx, f_fake,
+                              rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+        k_real = kernel_cross(cfg.kernel, fx, f_real,
+                              rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+        return jnp.mean(k_fake, axis=1) - jnp.mean(k_real, axis=1)   # (b,)
+
+    return _penalize(_grad_norms(witness, xhat), cfg.gp_variant)
+
+
+def wgan_gradient_penalty(cfg: Config, critic: Critic,
+                          real: Array, fake: Array, rng: jax.Array) -> Array:
+    b = min(real.shape[0], fake.shape[0])
+    eps = jax.random.uniform(rng, (b,) + (1,) * (real.ndim - 1))
+    xhat = eps * real[:b] + (1.0 - eps) * fake[:b]
+    norms = _grad_norms(lambda x: _scalar_critic(critic(x)), xhat)
+    return _penalize(norms, cfg.gp_variant)
+
+
+# ---------------------------------------------------------------------------
+# Critic / generator losses
+
+
+def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
+                rng: jax.Array) -> Tuple[Array, LossAux]:
+    """The d-step objective (minimized).  SURVEY.md call stack §3.2."""
+    f_real = critic(real)
+    f_fake = critic(fake)
+
+    if cfg.model == "wgan-gp":
+        h_real = _scalar_critic(f_real)
+        h_fake = _scalar_critic(f_fake)
+        loss = jnp.mean(h_fake) - jnp.mean(h_real)
+        gp = wgan_gradient_penalty(cfg, critic, real, fake, rng)
+        loss = loss + cfg.gradient_penalty * gp
+        if cfg.L2_discriminator_penalty > 0:
+            loss = loss + cfg.L2_discriminator_penalty * 0.5 * (
+                jnp.mean(f_real**2) + jnp.mean(f_fake**2))
+        aux = LossAux(mmd2=jnp.float32(0), sigma=jnp.float32(1), gp=gp,
+                      ratio=jnp.float32(0),
+                      critic_real=jnp.mean(h_real), critic_fake=jnp.mean(h_fake))
+        return loss, aux
+
+    blocks = _blocks(cfg, f_fake, f_real)
+    if cfg.model == "tmmd":
+        mmd2_val, objective = mmd2_and_ratio(blocks)
+    else:
+        mmd2_val = mmd2(blocks)
+        objective = mmd2_val
+
+    sigma = jnp.float32(1.0)
+    if cfg.with_scaling:
+        sigma = sobolev_scale(cfg, critic, real)
+        objective = objective / sigma
+
+    loss = -objective
+    gp = jnp.float32(0.0)
+    if cfg.gradient_penalty > 0:
+        gp = witness_gradient_penalty(cfg, critic, real, fake,
+                                      f_real, f_fake, rng)
+        loss = loss + cfg.gradient_penalty * gp
+    if cfg.L2_discriminator_penalty > 0:
+        loss = loss + cfg.L2_discriminator_penalty * 0.5 * (
+            jnp.mean(f_real**2) + jnp.mean(f_fake**2))
+
+    aux = LossAux(mmd2=mmd2_val, sigma=sigma, gp=gp,
+                  ratio=objective,
+                  critic_real=jnp.mean(_scalar_critic(f_real)),
+                  critic_fake=jnp.mean(_scalar_critic(f_fake)))
+    return loss, aux
+
+
+def generator_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
+                   scale_g_loss: bool = True) -> Tuple[Array, LossAux]:
+    """The g-step objective (minimized).
+
+    For MMD losses G minimizes the (optionally scaled) MMD^2; the
+    normalizer sigma depends only on real data and critic params, so
+    for G it is a positive constant — we still apply it so the
+    effective generator step size matches the scaled objective.
+    """
+    f_real = critic(real)
+    f_fake = critic(fake)
+
+    if cfg.model == "wgan-gp":
+        h_fake = _scalar_critic(f_fake)
+        loss = -jnp.mean(h_fake)
+        aux = LossAux(mmd2=jnp.float32(0), sigma=jnp.float32(1),
+                      gp=jnp.float32(0), ratio=jnp.float32(0),
+                      critic_real=jnp.mean(_scalar_critic(f_real)),
+                      critic_fake=jnp.mean(h_fake))
+        return loss, aux
+
+    blocks = _blocks(cfg, f_fake, f_real)
+    mmd2_val = mmd2(blocks)
+    loss = mmd2_val
+    sigma = jnp.float32(1.0)
+    if cfg.with_scaling and scale_g_loss:
+        sigma = jax.lax.stop_gradient(sobolev_scale(cfg, critic, real))
+        loss = loss / sigma
+    aux = LossAux(mmd2=mmd2_val, sigma=sigma, gp=jnp.float32(0),
+                  ratio=mmd2_val,
+                  critic_real=jnp.mean(_scalar_critic(f_real)),
+                  critic_fake=jnp.mean(_scalar_critic(f_fake)))
+    return loss, aux

@@ -1,0 +1,260 @@
+"""Jitted training step + trainer loop (SURVEY.md component #2).
+
+Re-design of the reference's ``MMD_GAN`` class (core/model.py): the TF1
+graph/session/queue-runner machinery becomes
+
+* an immutable ``TrainState`` pytree (params, opt states, BN stats,
+  spectral-norm ``u`` vectors, RNG key, dynamic learning rates),
+* one jitted ``train_step`` per (dsteps, gsteps) shape that runs the
+  full d/g alternation of a macro-step as a single XLA program
+  (``lax.scan`` over critic updates, then generator updates), and
+* data parallelism by GSPMD: the step is written in GLOBAL-batch terms
+  and jitted with batch inputs sharded over a 1-D ``Mesh('data')`` and
+  state replicated.  XLA inserts the ICI collectives — the B_g x B_g
+  kernel matrix of the global batch, the psum of replicated-param
+  gradients, and cross-replica BatchNorm reductions all fall out of the
+  sharding annotations (the [SPEC] "MMD estimator sees the full global
+  batch" requirement).
+
+Spectral-norm power iteration runs ONCE per critic update, outside the
+loss autodiff, on a dummy forward (the update depends only on weights),
+so applying the critic several times inside one loss (real / fake /
+interpolates / Jacobian) cannot multi-step ``u`` — and because params
+are replicated, ``u`` stays bit-identical across shards (SURVEY.md §7
+hard-part #4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from smmdax.configs import Config
+from smmdax.losses import LossAux, critic_loss, generator_loss
+from smmdax.nn import build_models
+
+Array = jnp.ndarray
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array                       # int32 scalar
+    rng: Array                        # PRNG key
+    g_params: Any
+    g_batch_stats: Any
+    g_opt_state: Any
+    d_params: Any
+    d_spectral: Any
+    d_opt_state: Any
+    lr_g: Array                       # dynamic (KID scheduler decays these
+    lr_d: Array                       #  without recompiling)
+
+
+def _adam(cfg: Config) -> optax.GradientTransformation:
+    # scale_by_adam only: the learning rate is applied manually from the
+    # dynamic state.lr_* scalars (reference: MMD_lr_scheduler decays LR
+    # mid-run; we must not bake it into the compiled program).
+    return optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2)
+
+
+def create_state(cfg: Config, rng: jax.Array) -> TrainState:
+    gen, disc = build_models(cfg)
+    rng, gk, dk, sk = jax.random.split(rng, 4)
+    z = jnp.zeros((2, cfg.z_dim), jnp.float32)
+    img = jnp.zeros((2,) + cfg.image_shape, jnp.float32)
+
+    g_vars = gen.init({"params": gk}, z, train=True)
+    d_vars = disc.init({"params": dk}, img)
+
+    g_params = g_vars["params"]
+    g_batch_stats = g_vars.get("batch_stats", FrozenDict())
+    d_params = d_vars["params"]
+    d_spectral = d_vars.get("spectral", FrozenDict())
+
+    adam = _adam(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        rng=sk,
+        g_params=g_params,
+        g_batch_stats=g_batch_stats,
+        g_opt_state=adam.init(g_params),
+        d_params=d_params,
+        d_spectral=d_spectral,
+        d_opt_state=adam.init(d_params),
+        lr_g=jnp.asarray(cfg.lr_g, jnp.float32),
+        lr_d=jnp.asarray(cfg.lr_d, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# single-update building blocks (written in GLOBAL batch terms)
+
+
+def _generate(gen, cfg: Config, g_params, g_batch_stats, z: Array,
+              update_stats: bool) -> Tuple[Array, Any]:
+    variables = {"params": g_params, "batch_stats": g_batch_stats}
+    fake, updated = gen.apply(variables, z, train=True, mutable=["batch_stats"])
+    new_stats = updated.get("batch_stats", g_batch_stats)
+    return fake, (new_stats if update_stats else g_batch_stats)
+
+
+def _critic_fn(disc, d_params, d_spectral) -> Callable[[Array], Array]:
+    variables = {"params": d_params, "spectral": d_spectral}
+    return lambda x: disc.apply(variables, x, update_sn=False)
+
+
+def _refresh_spectral(disc, cfg: Config, d_params, d_spectral) -> Any:
+    """One power-iteration step for every SN layer (weights-only)."""
+    if not cfg.with_sn:
+        return d_spectral
+    dummy = jnp.zeros((1,) + cfg.image_shape, jnp.float32)
+    _, updated = disc.apply({"params": d_params, "spectral": d_spectral},
+                            dummy, update_sn=True, mutable=["spectral"])
+    return updated["spectral"]
+
+
+def _apply_update(adam, grads, params, opt_state, lr):
+    updates, opt_state = adam.update(grads, opt_state, params)
+    params = optax.apply_updates(
+        params, jax.tree.map(lambda u: -lr * u, updates))
+    return params, opt_state
+
+
+def _d_update(cfg: Config, gen, disc, adam, state: TrainState,
+              real: Array, rng: jax.Array) -> Tuple[TrainState, LossAux]:
+    rng_z, rng_gp = jax.random.split(rng)
+    z = jax.random.uniform(rng_z, (real.shape[0], cfg.z_dim),
+                           minval=-1.0, maxval=1.0)
+    fake, _ = _generate(gen, cfg, state.g_params, state.g_batch_stats, z,
+                        update_stats=False)
+    fake = jax.lax.stop_gradient(fake)
+
+    d_spectral = _refresh_spectral(disc, cfg, state.d_params, state.d_spectral)
+
+    def loss_fn(d_params):
+        critic = _critic_fn(disc, d_params, d_spectral)
+        return critic_loss(cfg, critic, real, fake, rng_gp)
+
+    grads, aux = jax.grad(loss_fn, has_aux=True)(state.d_params)
+    d_params, d_opt_state = _apply_update(
+        adam, grads, state.d_params, state.d_opt_state, state.lr_d)
+    return state.replace(d_params=d_params, d_opt_state=d_opt_state,
+                         d_spectral=d_spectral), aux
+
+
+def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
+              real: Array, rng: jax.Array) -> Tuple[TrainState, LossAux]:
+    z = jax.random.uniform(rng, (real.shape[0], cfg.z_dim),
+                           minval=-1.0, maxval=1.0)
+    critic = _critic_fn(disc, state.d_params, state.d_spectral)
+
+    def loss_fn(g_params):
+        fake, new_stats = _generate(gen, cfg, g_params, state.g_batch_stats,
+                                    z, update_stats=True)
+        loss, aux = generator_loss(cfg, critic, real, fake)
+        return loss, (aux, new_stats)
+
+    grads, (aux, new_stats) = jax.grad(loss_fn, has_aux=True)(state.g_params)
+    g_params, g_opt_state = _apply_update(
+        adam, grads, state.g_params, state.g_opt_state, state.lr_g)
+    return state.replace(g_params=g_params, g_opt_state=g_opt_state,
+                         g_batch_stats=new_stats), aux
+
+
+# ---------------------------------------------------------------------------
+# the fused macro-step
+
+
+def build_train_step(cfg: Config, dsteps: int, gsteps: int
+                     ) -> Callable[[TrainState, Array], Tuple[TrainState, Dict[str, Array]]]:
+    """One XLA program: ``dsteps`` critic updates then ``gsteps``
+    generator updates, consuming ``real`` of shape
+    (dsteps + gsteps, B_global, H, W, C)."""
+    gen, disc = build_models(cfg)
+    adam = _adam(cfg)
+
+    def train_step(state: TrainState, real: Array):
+        rng, *step_rngs = jax.random.split(state.rng, 1 + dsteps + gsteps)
+        state = state.replace(rng=rng)
+
+        def d_body(state, inp):
+            batch, r = inp
+            state, aux = _d_update(cfg, gen, disc, adam, state, batch, r)
+            return state, aux
+
+        d_rngs = jnp.stack(step_rngs[:dsteps])
+        state, d_aux = jax.lax.scan(
+            d_body, state, (real[:dsteps], d_rngs))
+
+        def g_body(state, inp):
+            batch, r = inp
+            state, aux = _g_update(cfg, gen, disc, adam, state, batch, r)
+            return state, aux
+
+        g_rngs = jnp.stack(step_rngs[dsteps:])
+        state, g_aux = jax.lax.scan(
+            g_body, state, (real[dsteps:dsteps + gsteps], g_rngs))
+
+        state = state.replace(step=state.step + 1)
+        metrics = {
+            "d_loss_mmd2": d_aux.mmd2[-1],
+            "d_sigma": d_aux.sigma[-1],
+            "d_gp": d_aux.gp[-1],
+            "d_ratio": d_aux.ratio[-1],
+            "g_loss": g_aux.ratio[-1] if cfg.model != "wgan-gp" else -g_aux.critic_fake[-1],
+            "g_mmd2": g_aux.mmd2[-1],
+            "critic_real": d_aux.critic_real[-1],
+            "critic_fake": d_aux.critic_fake[-1],
+            "lr_d": state.lr_d,
+            "lr_g": state.lr_g,
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_mesh(num_shards: int) -> Mesh:
+    devices = jax.devices()[:num_shards]
+    import numpy as np
+    return Mesh(np.array(devices), ("data",))
+
+
+def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
+                   mesh: Optional[Mesh] = None):
+    """Jit the macro-step with data sharded over the mesh, state replicated.
+
+    With ``mesh=None`` (or 1 device) this is a plain single-chip jit.
+    """
+    step = build_train_step(cfg, dsteps, gsteps)
+    if mesh is None or len(mesh.devices.flat) == 1:
+        return jax.jit(step, donate_argnums=(0,))
+    replicated = NamedSharding(mesh, P())
+    data_sharding = NamedSharding(mesh, P(None, "data"))   # shard global batch dim
+    return jax.jit(step,
+                   in_shardings=(replicated, data_sharding),
+                   out_shardings=(replicated, replicated),
+                   donate_argnums=(0,))
+
+
+def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
+    """Generate n images (eval mode: running BN averages)."""
+    gen, _ = build_models(cfg)
+
+    @jax.jit
+    def gen_batch(g_params, g_batch_stats, z):
+        return gen.apply({"params": g_params, "batch_stats": g_batch_stats},
+                         z, train=False)
+
+    outs = []
+    bs = cfg.batch_size
+    for i in range(0, n, bs):
+        rng, zk = jax.random.split(rng)
+        z = jax.random.uniform(zk, (bs, cfg.z_dim), minval=-1.0, maxval=1.0)
+        outs.append(gen_batch(state.g_params, state.g_batch_stats, z))
+    return jnp.concatenate(outs)[:n]

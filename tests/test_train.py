@@ -1,0 +1,106 @@
+"""Train-step tests: state evolution, determinism, and the critical
+data-parallel property — the sharded global-batch estimator matches the
+single-device one (SURVEY.md §7 hard-part #3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smmdax.configs import Config
+from smmdax.data import make_dataset
+from smmdax.data.pipeline import macro_batches
+from smmdax.train import (create_state, jit_train_step, make_mesh, sample)
+
+
+def _tiny_cfg(**kw):
+    base = dict(model="mmd", kernel="rq", dataset="synthetic", batch_size=8,
+                output_size=32, gf_dim=8, df_dim=8, dof_dim=4, z_dim=8,
+                dsteps=1, gsteps=1)
+    base.update(kw)
+    return Config(**base)
+
+
+def _run_steps(cfg, n_steps=2, mesh=None, seed=0):
+    ds = make_dataset(cfg)
+    it = macro_batches(ds, cfg.dsteps + cfg.gsteps, cfg.batch_size)
+    state = create_state(cfg, jax.random.PRNGKey(seed))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, mesh=mesh)
+    metrics = None
+    for _ in range(n_steps):
+        state, metrics = step(state, jnp.asarray(next(it)))
+    return state, {k: float(v) for k, v in metrics.items()}
+
+
+@pytest.mark.parametrize("model", ["mmd", "smmd", "sn-smmd", "wgan-gp"])
+def test_step_runs_and_updates(model):
+    cfg = _tiny_cfg(model=model,
+                    gradient_penalty=1.0 if model == "wgan-gp" else 0.0)
+    state0 = create_state(cfg, jax.random.PRNGKey(0))
+    state, m = _run_steps(cfg, n_steps=2)
+    assert int(state.step) == 2
+    for k, v in m.items():
+        assert np.isfinite(v), (k, v)
+    # params actually moved
+    d0 = jax.tree.leaves(state0.d_params)[0]
+    d1 = jax.tree.leaves(state.d_params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_determinism():
+    cfg = _tiny_cfg()
+    _, m1 = _run_steps(cfg, n_steps=2, seed=7)
+    _, m2 = _run_steps(cfg, n_steps=2, seed=7)
+    assert m1 == m2
+
+
+def test_data_parallel_matches_single_device():
+    """The same global batch through a 8-shard mesh must produce the
+    same losses and parameter updates as one device (to float32
+    reduction tolerance)."""
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    cfg = _tiny_cfg(batch_size=16, num_data_shards=8)
+    ds = make_dataset(cfg)
+    it = macro_batches(ds, cfg.dsteps + cfg.gsteps, cfg.batch_size)
+    batches = [jnp.asarray(next(it)) for _ in range(2)]
+
+    state_a = create_state(cfg, jax.random.PRNGKey(0))
+    state_b = create_state(cfg, jax.random.PRNGKey(0))
+    step_1 = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, mesh=None)
+    step_8 = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, mesh=make_mesh(8))
+
+    for b in batches:
+        state_a, m_a = step_1(state_a, b)
+        state_b, m_b = step_8(state_b, b)
+
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]),
+                                   rtol=2e-3, atol=2e-5, err_msg=k)
+    for pa, pb in zip(jax.tree.leaves(state_a.d_params),
+                      jax.tree.leaves(state_b.d_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_sample_shapes():
+    cfg = _tiny_cfg()
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    imgs = sample(cfg, state, jax.random.PRNGKey(1), 10)
+    assert imgs.shape == (10, 32, 32, 3)
+    assert float(jnp.max(jnp.abs(imgs))) <= 1.0 + 1e-6
+
+
+def test_dynamic_lr_no_recompile():
+    """Decaying state.lr_* must not trigger a recompile (KID scheduler)."""
+    cfg = _tiny_cfg()
+    ds = make_dataset(cfg)
+    it = macro_batches(ds, cfg.dsteps + cfg.gsteps, cfg.batch_size)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    state, _ = step(state, jnp.asarray(next(it)))
+    state = state.replace(lr_d=state.lr_d * 0.5, lr_g=state.lr_g * 0.5)
+    compiled_before = step._cache_size() if hasattr(step, "_cache_size") else None
+    state, m = step(state, jnp.asarray(next(it)))
+    assert float(m["lr_d"]) == pytest.approx(cfg.lr_d * 0.5)
+    if compiled_before is not None:
+        assert step._cache_size() == compiled_before
