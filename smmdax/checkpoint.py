@@ -1,0 +1,72 @@
+"""Orbax checkpointing (SURVEY.md §5 checkpoint/resume row).
+
+Replaces the reference's ``tf.train.Saver`` with orbax: the FULL
+training state is saved — generator/critic params, BOTH Adam states,
+BatchNorm running stats, the spectral-norm ``u`` vectors, the RNG key,
+the dynamic learning rates and the step — so resume is exact
+(SURVEY.md demands an exact-resume test).  A separate "best" checkpoint
+is kept for the KID LR scheduler's three-sample comparisons
+(component #11).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from smmdax.train import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+        self._best_dir = os.path.join(directory, "best")
+
+    def save(self, step: int, state: TrainState, wait: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def save_best(self, state: TrainState) -> None:
+        """Overwrite the 'best so far' checkpoint (KID scheduler)."""
+        ckptr = ocp.StandardCheckpointer()
+        path = os.path.join(self._best_dir, "state")
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        ckptr.save(path, state)
+        ckptr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, abstract_state: TrainState,
+                step: Optional[int] = None) -> Optional[TrainState]:
+        """Restore latest (or a given step); None if nothing saved."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self._mgr.restore(step,
+                                 args=ocp.args.StandardRestore(abstract_state))
+
+    def restore_best(self, abstract_state: TrainState) -> Optional[TrainState]:
+        path = os.path.join(self._best_dir, "state")
+        if not os.path.exists(path):
+            return None
+        return ocp.StandardCheckpointer().restore(
+            path, target=abstract_state)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -30,7 +30,7 @@ DEFAULT_RQ_ALPHAS: Tuple[float, ...] = (0.2, 0.5, 1.0, 2.0, 5.0)
 
 LOSSES = ("mmd", "tmmd", "smmd", "sn-smmd", "wgan-gp")
 KERNELS = ("gaussian", "rq", "dot", "distance")
-ARCHS = ("dcgan", "resnet")
+ARCHS = ("dcgan", "resnet", "mlp")
 DATASETS = ("cifar10", "celeba", "imagenet64", "lsun", "mnist",
             "gaussian_mix", "synthetic")
 SCALING_VARIANTS = ("grad", "value_and_grad")
@@ -141,8 +141,14 @@ class Config:
     def lr_d(self) -> float:
         return self.learning_rate if self.d_learning_rate is None else self.d_learning_rate
 
+    # --- toy problem -------------------------------------------------------
+    toy_dim: int = 1                 # sample dim for gaussian_mix / mlp arch
+
     @property
-    def image_shape(self) -> Tuple[int, int, int]:
+    def image_shape(self) -> Tuple[int, ...]:
+        """Shape of one data sample (alias: the toy problem is 1-D)."""
+        if self.architecture == "mlp" or self.dataset == "gaussian_mix":
+            return (self.toy_dim,)
         return (self.output_size, self.output_size, self.c_dim)
 
     def replace(self, **kw) -> "Config":

@@ -31,7 +31,12 @@ Array = np.ndarray
 class DataSource(Protocol):
     sample_shape: Tuple[int, ...]
 
-    def batch(self, n: int) -> Array: ...
+    def batch(self, n: int, key: Optional[int] = None) -> Array:
+        """n samples; with ``key`` the batch is a pure function of
+        (source seed, key) — the trainer passes the step index so the
+        input pipeline is deterministically resumable (the stateless
+        analog of checkpointing queue positions)."""
+        ...
 
 
 # ---------------------------------------------------------------------------
@@ -43,14 +48,17 @@ class ArraySource:
 
     def __init__(self, data: Array, seed: int = 0):
         self.data = data
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
 
     @property
     def sample_shape(self) -> Tuple[int, ...]:
         return self.data.shape[1:]
 
-    def batch(self, n: int) -> Array:
-        idx = self._rng.integers(0, len(self.data), size=n)
+    def batch(self, n: int, key: Optional[int] = None) -> Array:
+        rng = self._rng if key is None else np.random.default_rng(
+            (self.seed, key))
+        idx = rng.integers(0, len(self.data), size=n)
         return self.data[idx]
 
 
@@ -99,6 +107,7 @@ class CelebASource:
     def __init__(self, root: str, output_size: int = 160, crop: int = 160,
                  seed: int = 0):
         from PIL import Image  # noqa: F401  (import check)
+        self.seed = seed
         self.root = root
         self.files = sorted(
             os.path.join(root, f) for f in os.listdir(root)
@@ -113,9 +122,11 @@ class CelebASource:
     def sample_shape(self) -> Tuple[int, ...]:
         return (self.output_size, self.output_size, 3)
 
-    def batch(self, n: int) -> Array:
+    def batch(self, n: int, key: Optional[int] = None) -> Array:
         from PIL import Image
-        idx = self._rng.integers(0, len(self.files), size=n)
+        rng = self._rng if key is None else np.random.default_rng(
+            (self.seed, key))
+        idx = rng.integers(0, len(self.files), size=n)
         out = np.empty((n, self.output_size, self.output_size, 3), np.float32)
         for i, j in enumerate(idx):
             img = Image.open(self.files[j]).convert("RGB")
@@ -168,8 +179,16 @@ def make_dataset(cfg: Config) -> DataSource:
 
 
 def macro_batches(source: DataSource, per_step: int, batch: int,
-                  ) -> Iterator[Array]:
-    """Yield (per_step, batch, *sample_shape) stacked arrays forever."""
+                  start_step: int = 0) -> Iterator[Array]:
+    """Yield (per_step, batch, *sample_shape) stacked arrays forever,
+    keyed by step index (deterministic + resumable)."""
+    step = start_step
     while True:
-        flat = source.batch(per_step * batch)
-        yield flat.reshape((per_step, batch) + flat.shape[1:])
+        yield macro_batch_at(source, step, per_step, batch)
+        step += 1
+
+
+def macro_batch_at(source: DataSource, step: int, per_step: int,
+                   batch: int) -> Array:
+    flat = source.batch(per_step * batch, key=step)
+    return flat.reshape((per_step, batch) + flat.shape[1:])

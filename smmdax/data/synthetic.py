@@ -30,15 +30,18 @@ class GaussianMix:
         self.means = np.asarray(means, np.float32)
         self.stddev = float(stddev)
         self.dim = dim
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
 
     @property
     def sample_shape(self) -> Tuple[int, ...]:
         return (self.dim,)
 
-    def batch(self, n: int) -> Array:
-        comp = self._rng.integers(0, len(self.means), size=n)
-        x = self.means[comp][:, None] + self.stddev * self._rng.standard_normal(
+    def batch(self, n: int, key: Optional[int] = None) -> Array:
+        rng = self._rng if key is None else np.random.default_rng(
+            (self.seed, key))
+        comp = rng.integers(0, len(self.means), size=n)
+        x = self.means[comp][:, None] + self.stddev * rng.standard_normal(
             (n, self.dim)).astype(np.float32)
         return x.astype(np.float32)
 
@@ -53,6 +56,7 @@ class SyntheticImages:
                  num_prototypes: int = 64, seed: int = 0):
         self.size = size
         self.channels = channels
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
         # Prototype library: sums of random 2-D Gaussian bumps.
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
@@ -73,15 +77,17 @@ class SyntheticImages:
     def sample_shape(self) -> Tuple[int, ...]:
         return (self.size, self.size, self.channels)
 
-    def batch(self, n: int) -> Array:
-        idx = self._rng.integers(0, len(self.protos), size=n)
+    def batch(self, n: int, key: Optional[int] = None) -> Array:
+        rng = self._rng if key is None else np.random.default_rng(
+            (self.seed, key))
+        idx = rng.integers(0, len(self.protos), size=n)
         imgs = self.protos[idx].copy()
         # per-sample brightness/contrast jitter
-        gain = self._rng.uniform(0.7, 1.0, (n, 1, 1, 1)).astype(np.float32)
-        bias = self._rng.uniform(-0.1, 0.1, (n, 1, 1, 1)).astype(np.float32)
+        gain = rng.uniform(0.7, 1.0, (n, 1, 1, 1)).astype(np.float32)
+        bias = rng.uniform(-0.1, 0.1, (n, 1, 1, 1)).astype(np.float32)
         imgs = np.clip(imgs * gain + bias, -1.0, 1.0)
         # per-sample circular shift (cheap spatial augmentation)
-        shifts = self._rng.integers(-4, 5, size=(n, 2))
+        shifts = rng.integers(-4, 5, size=(n, 2))
         for i in range(n):
             imgs[i] = np.roll(imgs[i], tuple(shifts[i]), axis=(0, 1))
         return imgs

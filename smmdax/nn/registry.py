@@ -16,6 +16,12 @@ from smmdax.nn.resnet import ResNetDiscriminator, ResNetGenerator
 
 
 def build_models(cfg: Config) -> Tuple[nn.Module, nn.Module]:
+    if cfg.architecture == "mlp" or cfg.dataset == "gaussian_mix":
+        from smmdax.nn.mlp import MLPDiscriminator, MLPGenerator
+        gen = MLPGenerator(out_dim=cfg.toy_dim, z_dim=cfg.z_dim)
+        disc = MLPDiscriminator(dof_dim=cfg.dof_dim, use_sn=cfg.with_sn,
+                                sn_iters=cfg.sn_iters)
+        return gen, disc
     if cfg.architecture == "dcgan":
         gen = DCGANGenerator(output_size=cfg.output_size, c_dim=cfg.c_dim,
                              gf_dim=cfg.gf_dim, z_dim=cfg.z_dim)

@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smmdax.configs import Config
@@ -73,9 +72,9 @@ def create_state(cfg: Config, rng: jax.Array) -> TrainState:
     d_vars = disc.init({"params": dk}, img)
 
     g_params = g_vars["params"]
-    g_batch_stats = g_vars.get("batch_stats", FrozenDict())
+    g_batch_stats = dict(g_vars.get("batch_stats", {}))
     d_params = d_vars["params"]
-    d_spectral = d_vars.get("spectral", FrozenDict())
+    d_spectral = dict(d_vars.get("spectral", {}))
 
     adam = _adam(cfg)
     return TrainState(
@@ -100,7 +99,7 @@ def _generate(gen, cfg: Config, g_params, g_batch_stats, z: Array,
               update_stats: bool) -> Tuple[Array, Any]:
     variables = {"params": g_params, "batch_stats": g_batch_stats}
     fake, updated = gen.apply(variables, z, train=True, mutable=["batch_stats"])
-    new_stats = updated.get("batch_stats", g_batch_stats)
+    new_stats = dict(updated.get("batch_stats", g_batch_stats))
     return fake, (new_stats if update_stats else g_batch_stats)
 
 

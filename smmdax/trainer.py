@@ -1,0 +1,159 @@
+"""The training loop (SURVEY.md component #2 ``train()`` + #11 KID LR
+scheduler): alternation scheduling, logging, sampling, checkpointing,
+in-loop scoring, and the KID-driven learning-rate decay.
+
+Reference call stack parity (§3.1): warm-up critic steps
+(``start_dsteps`` for the first ``warmup_iterations``), periodic
+sample grids, periodic checkpoints, periodic FID/KID scoring with the
+three-sample-test LR decay.  All device work happens inside the two
+jitted macro-step programs; this file is host-side orchestration only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smmdax.checkpoint import CheckpointManager
+from smmdax.configs import Config
+from smmdax.data import make_dataset
+from smmdax.data.pipeline import macro_batch_at
+from smmdax.eval import (fid_from_features, get_feature_extractor,
+                         kid_from_features)
+from smmdax.eval.scores import relative_similarity_test
+from smmdax.train import (TrainState, create_state, jit_train_step,
+                          make_mesh, sample)
+from smmdax.utils import MetricWriter, StepTimer, save_images
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.source = make_dataset(cfg)
+        self.mesh = (make_mesh(cfg.num_data_shards)
+                     if cfg.num_data_shards > 1 else None)
+        self.state = create_state(cfg, jax.random.PRNGKey(cfg.random_seed))
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.checkpoint_dir, cfg.run_name()))
+        restored = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = restored
+            print(f"[smmdax] resumed from step {int(self.state.step)}")
+        self.writer = MetricWriter(cfg.log_dir, cfg.run_name(),
+                                   also_stdout=cfg.log)
+        # two compiled programs: warm-up alternation and main alternation
+        self._step_main = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, self.mesh)
+        self._step_warm = (jit_train_step(cfg, cfg.start_dsteps, cfg.gsteps,
+                                          self.mesh)
+                           if cfg.start_dsteps != cfg.dsteps else self._step_main)
+        self._extractor = None
+        self._real_feats: Optional[np.ndarray] = None
+        self._best_feats: Optional[np.ndarray] = None
+        self._best_kid: float = float("inf")
+
+    # ------------------------------------------------------------------
+    def _dsteps_at(self, step: int) -> int:
+        if step < self.cfg.warmup_iterations and self.cfg.start_dsteps != self.cfg.dsteps:
+            return self.cfg.start_dsteps
+        return self.cfg.dsteps
+
+    def _score(self, step: int) -> Dict[str, float]:
+        """FID/KID of generated samples vs the real source + LR decay."""
+        cfg = self.cfg
+        if self._extractor is None:
+            self._extractor = get_feature_extractor(cfg.data_dir)
+        n = min(cfg.no_of_samples, 5000 if cfg.dataset == "synthetic" else
+                cfg.no_of_samples)
+        rng = jax.random.PRNGKey(cfg.random_seed + step)
+        fake = np.asarray(sample(cfg, self.state, rng, n))
+        fake_feats = self._extractor(fake)
+        if self._real_feats is None:
+            self._real_feats = self._extractor(self.source.batch(n))
+        fid = fid_from_features(self._real_feats, fake_feats)
+        kid, kid_std = kid_from_features(
+            self._real_feats, fake_feats,
+            subset_size=min(cfg.score_subset_size, n),
+            n_subsets=cfg.score_subsets)
+        out = {"fid": fid, "kid": kid, "kid_std": kid_std}
+
+        if cfg.MMD_lr_scheduler:
+            if self._best_feats is None or kid < self._best_kid:
+                self._best_feats, self._best_kid = fake_feats, kid
+                self.ckpt.save_best(self.state)
+                out["lr_decayed"] = 0.0
+            else:
+                # three-sample relative similarity test vs best snapshot
+                win = relative_similarity_test(
+                    self._real_feats, fake_feats, self._best_feats,
+                    subset_size=min(cfg.score_subset_size, n))
+                if win <= 0.5:   # no improvement -> decay LR
+                    self.state = self.state.replace(
+                        lr_d=self.state.lr_d * cfg.decay_rate,
+                        lr_g=self.state.lr_g * cfg.decay_rate)
+                    out["lr_decayed"] = 1.0
+                else:
+                    out["lr_decayed"] = 0.0
+        return out
+
+    # ------------------------------------------------------------------
+    def train(self) -> TrainState:
+        cfg = self.cfg
+        timer = StepTimer()
+        step = int(self.state.step)
+
+        while step < cfg.max_iteration:
+            warm = self._dsteps_at(step) == cfg.start_dsteps and \
+                cfg.start_dsteps != cfg.dsteps
+            per_step = (cfg.start_dsteps if warm else cfg.dsteps) + cfg.gsteps
+            # batches are a pure function of (seed, step): the pipeline
+            # resumes exactly with the checkpoint (stateless resumability)
+            batch = jnp.asarray(macro_batch_at(self.source, step, per_step,
+                                               cfg.batch_size))
+            step_fn = self._step_warm if warm else self._step_main
+            self.state, metrics = step_fn(self.state, batch)
+            step += 1
+            timer.add(batch.shape[0] * batch.shape[1])
+
+            if cfg.lr_decay_steps and step % cfg.lr_decay_steps == 0:
+                self.state = self.state.replace(
+                    lr_d=self.state.lr_d * cfg.decay_rate,
+                    lr_g=self.state.lr_g * cfg.decay_rate)
+
+            if step % cfg.log_every == 0 or step == cfg.max_iteration:
+                jax.block_until_ready(metrics)
+                m = {k: float(v) for k, v in metrics.items()}
+                m["images_per_sec"] = timer.rate()
+                self.writer.write(step, m)
+                timer.reset()
+
+            if cfg.sample_every and step % cfg.sample_every == 0:
+                self._save_samples(step)
+
+            if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
+                self.ckpt.save(step, jax.device_get(self.state))
+
+            if cfg.compute_scores and step % cfg.score_every == 0:
+                scores = self._score(step)
+                self.writer.write(step, scores)
+
+        self.ckpt.save(step, jax.device_get(self.state), wait=True)
+        return self.state
+
+    def _save_samples(self, step: int) -> None:
+        cfg = self.cfg
+        if cfg.dataset == "gaussian_mix":
+            return  # 1-D toy has its own visualization (smmdax.viz)
+        imgs = np.asarray(sample(cfg, self.state,
+                                 jax.random.PRNGKey(step), 64))
+        path = os.path.join(cfg.sample_dir, cfg.run_name(),
+                            f"sample_{step:07d}.png")
+        save_images(imgs, path)
+
+
+def train(cfg: Config) -> TrainState:
+    return Trainer(cfg).train()

@@ -1,0 +1,87 @@
+"""Score-math tests: FID/KID/IS properties and closed forms."""
+
+import numpy as np
+import pytest
+
+from smmdax.eval import (fid_from_features, frechet_distance, gaussian_stats,
+                         inception_score, kid_from_features, polynomial_mmd)
+from smmdax.eval.features import RandomConvFeatures
+from smmdax.eval.scores import relative_similarity_test
+
+
+def test_frechet_closed_form():
+    """FID between N(0,I) and N(m,I) is ||m||^2 (exact)."""
+    d = 8
+    mu1, s1 = np.zeros(d), np.eye(d)
+    m = np.full(d, 0.5)
+    assert frechet_distance(mu1, s1, m, np.eye(d)) == pytest.approx(
+        float(m @ m), abs=1e-8)
+
+
+def test_frechet_scale_closed_form():
+    """FID between N(0, I) and N(0, a^2 I) = d (a-1)^2."""
+    d, a = 6, 2.0
+    fid = frechet_distance(np.zeros(d), np.eye(d), np.zeros(d), a**2 * np.eye(d))
+    assert fid == pytest.approx(d * (a - 1.0) ** 2, abs=1e-8)
+
+
+def test_fid_identity_and_separation():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2000, 16))
+    y = rng.standard_normal((2000, 16))
+    z = rng.standard_normal((2000, 16)) + 1.0
+    near = fid_from_features(x, y)
+    far = fid_from_features(x, z)
+    assert near < 0.2
+    assert far > 10 * near
+
+
+def test_kid_unbiasedness_sign():
+    """KID between same-distribution samples hovers around 0; shifted
+    samples give clearly positive KID."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3000, 16))
+    y = rng.standard_normal((3000, 16))
+    z = rng.standard_normal((3000, 16)) + 0.5
+    kid_same, _ = kid_from_features(x, y, subset_size=500, n_subsets=20)
+    kid_far, _ = kid_from_features(x, z, subset_size=500, n_subsets=20)
+    assert abs(kid_same) < 0.02
+    assert kid_far > 0.1
+
+
+def test_polynomial_mmd_closed_form_zero():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((500, 8))
+    assert polynomial_mmd(x, x.copy()) < 1e-6  # same set: U-stat ~ tiny
+
+
+def test_inception_score_bounds():
+    n, k = 1000, 10
+    uniform = np.full((n, k), 1.0 / k)
+    is_u, _ = inception_score(uniform)
+    assert is_u == pytest.approx(1.0, abs=1e-6)
+    onehot = np.eye(k)[np.random.default_rng(0).integers(0, k, n)]
+    is_o, _ = inception_score(onehot)
+    assert is_o == pytest.approx(k, rel=0.05)
+
+
+def test_relative_similarity_test_direction():
+    rng = np.random.default_rng(3)
+    ref = rng.standard_normal((2000, 8))
+    close = rng.standard_normal((2000, 8)) + 0.1
+    far = rng.standard_normal((2000, 8)) + 1.0
+    win = relative_similarity_test(ref, close, far, subset_size=400,
+                                   n_subsets=10)
+    assert win > 0.5
+    lose = relative_similarity_test(ref, far, close, subset_size=400,
+                                    n_subsets=10)
+    assert lose < 0.5
+
+
+def test_random_conv_features_deterministic():
+    rng = np.random.default_rng(4)
+    imgs = rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+    f1 = RandomConvFeatures(feature_dim=64, width=8)(imgs)
+    f2 = RandomConvFeatures(feature_dim=64, width=8)(imgs)
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.shape == (8, 64)
