@@ -31,7 +31,7 @@ import numpy as np
 # Our own round-1 TPU v5e measurement becomes the fixed baseline once
 # recorded here (no published reference number exists to beat on this
 # metric — BASELINE.md).
-BASELINE_IMAGES_PER_SEC: float | None = None
+BASELINE_IMAGES_PER_SEC: float | None = 2369.78  # round-1, TPU v5e, 2026-08-16
 
 WARMUP_STEPS = 3
 TIMED_STEPS = 10

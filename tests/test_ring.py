@@ -1,0 +1,73 @@
+"""Ring global-batch MMD == single-device estimator (SURVEY.md §7
+hard-part #3: the classic silent-wrongness bug is diagonal/normalizer
+mishandling when K is computed in blocks — this is the property test
+that guards it)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from smmdax.kernels import kernel_matrices, mmd2
+from smmdax.parallel import ring_mmd2
+
+N_DEV = 8
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:N_DEV]), ("data",))
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "rq"])
+@pytest.mark.parametrize("biased", [False, True])
+def test_ring_matches_global(kernel, biased):
+    assert jax.device_count() >= N_DEV
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(k1, (64, 16)) * 0.6
+    y = jax.random.normal(k2, (64, 16)) * 0.6 + 0.4
+
+    mesh = _mesh()
+    fn = shard_map(
+        functools.partial(ring_mmd2, axis_name="data", kernel=kernel,
+                          biased=biased),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P())
+    got = float(jax.jit(fn)(x, y))
+    want = float(mmd2(kernel_matrices(kernel, x, y), biased=biased))
+    assert got == pytest.approx(want, rel=2e-4, abs=1e-6)
+
+
+def test_ring_unequal_batch_sizes():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(k1, (32, 8))
+    y = jax.random.normal(k2, (64, 8)) + 0.3
+    mesh = _mesh()
+    fn = shard_map(
+        functools.partial(ring_mmd2, axis_name="data", kernel="rq"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P())
+    got = float(jax.jit(fn)(x, y))
+    want = float(mmd2(kernel_matrices("rq", x, y)))
+    assert got == pytest.approx(want, rel=2e-4, abs=1e-6)
+
+
+def test_ring_gradients_match_global():
+    """Cross-shard gradients through ppermute must equal the global
+    estimator's gradients."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(k1, (32, 8)) * 0.5
+    y = jax.random.normal(k2, (32, 8)) * 0.5 + 0.3
+    mesh = _mesh()
+
+    ring = shard_map(
+        functools.partial(ring_mmd2, axis_name="data", kernel="rq"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P())
+    gx_r, gy_r = jax.jit(jax.grad(lambda a, b: ring(a, b), argnums=(0, 1)))(x, y)
+    gx_g, gy_g = jax.grad(
+        lambda a, b: mmd2(kernel_matrices("rq", a, b)), argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_g),
+                               rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy_r), np.asarray(gy_g),
+                               rtol=5e-4, atol=1e-6)
