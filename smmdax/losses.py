@@ -54,6 +54,44 @@ def _blocks(cfg: Config, f_fake: Array, f_real: Array) -> KernelBlocks:
                            rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
 
 
+def _kernel_params(cfg: Config):
+    return cfg.rbf_sigmas if cfg.kernel == "gaussian" else cfg.rq_alphas
+
+
+def _gather(f: Array, axis_name: Optional[str]) -> Array:
+    """Local (b, d) feature shard -> global (B_g, d) on every shard."""
+    if axis_name is None:
+        return f
+    return jax.lax.all_gather(f, axis_name, axis=0, tiled=True)
+
+
+def _pmean(v: Array, axis_name: Optional[str]) -> Array:
+    return v if axis_name is None else jax.lax.pmean(v, axis_name)
+
+
+def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
+                   axis_name: Optional[str] = None) -> Array:
+    """Global-batch MMD^2 with the configured execution path:
+
+    * ``use_ring_mmd`` (+ axis_name): block-row ring over ICI — local
+      feature shards in, global estimator out, O(B_g^2/N) peak memory.
+    * ``use_pallas``: the fused Pallas Gram+reduce kernel (global or
+      gathered features).
+    * otherwise: dense jnp Gram blocks (the oracle path).
+    All three are numerically the same estimator (property-tested).
+    """
+    if axis_name is not None and cfg.use_ring_mmd and cfg.kernel in ("gaussian", "rq"):
+        from smmdax.parallel.ring import ring_mmd2
+        return ring_mmd2(f_fake, f_real, axis_name, cfg.kernel,
+                         rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+    f_fake = _gather(f_fake, axis_name)
+    f_real = _gather(f_real, axis_name)
+    if cfg.use_pallas and cfg.kernel in ("gaussian", "rq"):
+        from smmdax.pallas import fused_mmd2
+        return fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg))
+    return mmd2(_blocks(cfg, f_fake, f_real))
+
+
 def _scalar_critic(features: Array) -> Array:
     """WGAN view of the critic: sum of the feature head (== the scalar
     output when dof_dim = 1, the reference's wgan configuration)."""
@@ -138,56 +176,70 @@ def wgan_gradient_penalty(cfg: Config, critic: Critic,
 
 
 def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
-                rng: jax.Array) -> Tuple[Array, LossAux]:
-    """The d-step objective (minimized).  SURVEY.md call stack §3.2."""
+                rng: jax.Array,
+                axis_name: Optional[str] = None) -> Tuple[Array, LossAux]:
+    """The d-step objective (minimized).  SURVEY.md call stack §3.2.
+
+    With ``axis_name`` (inside shard_map) ``real``/``fake`` are LOCAL
+    shards; every statistic is computed over the GLOBAL batch (gather /
+    ring for the kernel terms, pmean for per-sample means) so the loss
+    value — and therefore pmean'd gradients — match the single-device
+    global-batch computation.
+    """
     f_real = critic(real)
     f_fake = critic(fake)
 
     if cfg.model == "wgan-gp":
-        h_real = _scalar_critic(f_real)
-        h_fake = _scalar_critic(f_fake)
-        loss = jnp.mean(h_fake) - jnp.mean(h_real)
-        gp = wgan_gradient_penalty(cfg, critic, real, fake, rng)
+        h_real = _pmean(jnp.mean(_scalar_critic(f_real)), axis_name)
+        h_fake = _pmean(jnp.mean(_scalar_critic(f_fake)), axis_name)
+        loss = h_fake - h_real
+        gp = _pmean(wgan_gradient_penalty(cfg, critic, real, fake, rng),
+                    axis_name)
         loss = loss + cfg.gradient_penalty * gp
         if cfg.L2_discriminator_penalty > 0:
-            loss = loss + cfg.L2_discriminator_penalty * 0.5 * (
-                jnp.mean(f_real**2) + jnp.mean(f_fake**2))
+            loss = loss + cfg.L2_discriminator_penalty * 0.5 * _pmean(
+                jnp.mean(f_real**2) + jnp.mean(f_fake**2), axis_name)
         aux = LossAux(mmd2=jnp.float32(0), sigma=jnp.float32(1), gp=gp,
                       ratio=jnp.float32(0),
-                      critic_real=jnp.mean(h_real), critic_fake=jnp.mean(h_fake))
+                      critic_real=h_real, critic_fake=h_fake)
         return loss, aux
 
-    blocks = _blocks(cfg, f_fake, f_real)
     if cfg.model == "tmmd":
+        # the variance estimator needs full Gram blocks: gather features
+        blocks = _blocks(cfg, _gather(f_fake, axis_name),
+                         _gather(f_real, axis_name))
         mmd2_val, objective = mmd2_and_ratio(blocks)
     else:
-        mmd2_val = mmd2(blocks)
+        mmd2_val = mmd2_objective(cfg, f_fake, f_real, axis_name)
         objective = mmd2_val
 
     sigma = jnp.float32(1.0)
     if cfg.with_scaling:
-        sigma = sobolev_scale(cfg, critic, real)
+        sigma = _pmean(sobolev_scale(cfg, critic, real), axis_name)
         objective = objective / sigma
 
     loss = -objective
     gp = jnp.float32(0.0)
     if cfg.gradient_penalty > 0:
-        gp = witness_gradient_penalty(cfg, critic, real, fake,
-                                      f_real, f_fake, rng)
+        gp = _pmean(witness_gradient_penalty(
+            cfg, critic, real, fake,
+            _gather(f_real, axis_name), _gather(f_fake, axis_name), rng),
+            axis_name)
         loss = loss + cfg.gradient_penalty * gp
     if cfg.L2_discriminator_penalty > 0:
-        loss = loss + cfg.L2_discriminator_penalty * 0.5 * (
-            jnp.mean(f_real**2) + jnp.mean(f_fake**2))
+        loss = loss + cfg.L2_discriminator_penalty * 0.5 * _pmean(
+            jnp.mean(f_real**2) + jnp.mean(f_fake**2), axis_name)
 
     aux = LossAux(mmd2=mmd2_val, sigma=sigma, gp=gp,
                   ratio=objective,
-                  critic_real=jnp.mean(_scalar_critic(f_real)),
-                  critic_fake=jnp.mean(_scalar_critic(f_fake)))
+                  critic_real=_pmean(jnp.mean(_scalar_critic(f_real)), axis_name),
+                  critic_fake=_pmean(jnp.mean(_scalar_critic(f_fake)), axis_name))
     return loss, aux
 
 
 def generator_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
-                   scale_g_loss: bool = True) -> Tuple[Array, LossAux]:
+                   scale_g_loss: bool = True,
+                   axis_name: Optional[str] = None) -> Tuple[Array, LossAux]:
     """The g-step objective (minimized).
 
     For MMD losses G minimizes the (optionally scaled) MMD^2; the
@@ -199,23 +251,23 @@ def generator_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
     f_fake = critic(fake)
 
     if cfg.model == "wgan-gp":
-        h_fake = _scalar_critic(f_fake)
-        loss = -jnp.mean(h_fake)
+        h_real = _pmean(jnp.mean(_scalar_critic(f_real)), axis_name)
+        h_fake = _pmean(jnp.mean(_scalar_critic(f_fake)), axis_name)
+        loss = -h_fake
         aux = LossAux(mmd2=jnp.float32(0), sigma=jnp.float32(1),
                       gp=jnp.float32(0), ratio=jnp.float32(0),
-                      critic_real=jnp.mean(_scalar_critic(f_real)),
-                      critic_fake=jnp.mean(h_fake))
+                      critic_real=h_real, critic_fake=h_fake)
         return loss, aux
 
-    blocks = _blocks(cfg, f_fake, f_real)
-    mmd2_val = mmd2(blocks)
+    mmd2_val = mmd2_objective(cfg, f_fake, f_real, axis_name)
     loss = mmd2_val
     sigma = jnp.float32(1.0)
     if cfg.with_scaling and scale_g_loss:
-        sigma = jax.lax.stop_gradient(sobolev_scale(cfg, critic, real))
+        sigma = jax.lax.stop_gradient(
+            _pmean(sobolev_scale(cfg, critic, real), axis_name))
         loss = loss / sigma
     aux = LossAux(mmd2=mmd2_val, sigma=sigma, gp=jnp.float32(0),
                   ratio=mmd2_val,
-                  critic_real=jnp.mean(_scalar_critic(f_real)),
-                  critic_fake=jnp.mean(_scalar_critic(f_fake)))
+                  critic_real=_pmean(jnp.mean(_scalar_critic(f_real)), axis_name),
+                  critic_fake=_pmean(jnp.mean(_scalar_critic(f_fake)), axis_name))
     return loss, aux

@@ -125,9 +125,23 @@ def _apply_update(adam, grads, params, opt_state, lr):
     return params, opt_state
 
 
+def _shard_rng(rng: jax.Array, axis_name) -> jax.Array:
+    """Distinct RNG stream per data shard (inside shard_map)."""
+    if axis_name is None:
+        return rng
+    return jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+
+
+def _pmean_tree(tree, axis_name):
+    if axis_name is None:
+        return tree
+    return jax.tree.map(lambda v: jax.lax.pmean(v, axis_name), tree)
+
+
 def _d_update(cfg: Config, gen, disc, adam, state: TrainState,
-              real: Array, rng: jax.Array) -> Tuple[TrainState, LossAux]:
-    rng_z, rng_gp = jax.random.split(rng)
+              real: Array, rng: jax.Array,
+              axis_name=None) -> Tuple[TrainState, LossAux]:
+    rng_z, rng_gp = jax.random.split(_shard_rng(rng, axis_name))
     z = jax.random.uniform(rng_z, (real.shape[0], cfg.z_dim),
                            minval=-1.0, maxval=1.0)
     fake, _ = _generate(gen, cfg, state.g_params, state.g_batch_stats, z,
@@ -138,9 +152,11 @@ def _d_update(cfg: Config, gen, disc, adam, state: TrainState,
 
     def loss_fn(d_params):
         critic = _critic_fn(disc, d_params, d_spectral)
-        return critic_loss(cfg, critic, real, fake, rng_gp)
+        return critic_loss(cfg, critic, real, fake, rng_gp,
+                           axis_name=axis_name)
 
     grads, aux = jax.grad(loss_fn, has_aux=True)(state.d_params)
+    grads = _pmean_tree(grads, axis_name)
     d_params, d_opt_state = _apply_update(
         adam, grads, state.d_params, state.d_opt_state, state.lr_d)
     return state.replace(d_params=d_params, d_opt_state=d_opt_state,
@@ -148,18 +164,25 @@ def _d_update(cfg: Config, gen, disc, adam, state: TrainState,
 
 
 def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
-              real: Array, rng: jax.Array) -> Tuple[TrainState, LossAux]:
-    z = jax.random.uniform(rng, (real.shape[0], cfg.z_dim),
+              real: Array, rng: jax.Array,
+              axis_name=None) -> Tuple[TrainState, LossAux]:
+    z = jax.random.uniform(_shard_rng(rng, axis_name),
+                           (real.shape[0], cfg.z_dim),
                            minval=-1.0, maxval=1.0)
     critic = _critic_fn(disc, state.d_params, state.d_spectral)
 
     def loss_fn(g_params):
         fake, new_stats = _generate(gen, cfg, g_params, state.g_batch_stats,
                                     z, update_stats=True)
-        loss, aux = generator_loss(cfg, critic, real, fake)
+        loss, aux = generator_loss(cfg, critic, real, fake,
+                                   axis_name=axis_name)
         return loss, (aux, new_stats)
 
     grads, (aux, new_stats) = jax.grad(loss_fn, has_aux=True)(state.g_params)
+    grads = _pmean_tree(grads, axis_name)
+    # per-shard BN batch statistics are averaged so the replicated
+    # state stays replicated (local-stats normalization, synced EMA)
+    new_stats = _pmean_tree(new_stats, axis_name)
     g_params, g_opt_state = _apply_update(
         adam, grads, state.g_params, state.g_opt_state, state.lr_g)
     return state.replace(g_params=g_params, g_opt_state=g_opt_state,
@@ -170,11 +193,13 @@ def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
 # the fused macro-step
 
 
-def build_train_step(cfg: Config, dsteps: int, gsteps: int
+def build_train_step(cfg: Config, dsteps: int, gsteps: int,
+                     axis_name=None
                      ) -> Callable[[TrainState, Array], Tuple[TrainState, Dict[str, Array]]]:
     """One XLA program: ``dsteps`` critic updates then ``gsteps``
     generator updates, consuming ``real`` of shape
-    (dsteps + gsteps, B_global, H, W, C)."""
+    (dsteps + gsteps, B_global, H, W, C) — or the per-shard slice of it
+    when ``axis_name`` is set (shard_map ring mode)."""
     gen, disc = build_models(cfg)
     adam = _adam(cfg)
 
@@ -184,7 +209,8 @@ def build_train_step(cfg: Config, dsteps: int, gsteps: int
 
         def d_body(state, inp):
             batch, r = inp
-            state, aux = _d_update(cfg, gen, disc, adam, state, batch, r)
+            state, aux = _d_update(cfg, gen, disc, adam, state, batch, r,
+                                   axis_name=axis_name)
             return state, aux
 
         d_rngs = jnp.stack(step_rngs[:dsteps])
@@ -193,7 +219,8 @@ def build_train_step(cfg: Config, dsteps: int, gsteps: int
 
         def g_body(state, inp):
             batch, r = inp
-            state, aux = _g_update(cfg, gen, disc, adam, state, batch, r)
+            state, aux = _g_update(cfg, gen, disc, adam, state, batch, r,
+                                   axis_name=axis_name)
             return state, aux
 
         g_rngs = jnp.stack(step_rngs[dsteps:])
@@ -225,14 +252,31 @@ def make_mesh(num_shards: int) -> Mesh:
 
 
 def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
-                   mesh: Optional[Mesh] = None):
+                   mesh: Optional[Mesh] = None, mode: str = "gspmd"):
     """Jit the macro-step with data sharded over the mesh, state replicated.
 
     With ``mesh=None`` (or 1 device) this is a plain single-chip jit.
+
+    ``mode``:
+      * ``gspmd`` — global-batch code + sharding annotations; XLA
+        partitions and inserts collectives (default).
+      * ``shard_map`` — explicit per-shard program: per-shard RNG
+        streams, ring/gathered global-batch MMD (cfg.use_ring_mmd),
+        pmean'd gradients and BN stats.  Same estimator, explicit
+        collective schedule (SURVEY.md §5 ring row).
     """
-    step = build_train_step(cfg, dsteps, gsteps)
     if mesh is None or len(mesh.devices.flat) == 1:
+        step = build_train_step(cfg, dsteps, gsteps)
         return jax.jit(step, donate_argnums=(0,))
+    if mode == "shard_map":
+        from jax.experimental.shard_map import shard_map
+        step = build_train_step(cfg, dsteps, gsteps, axis_name="data")
+        smapped = shard_map(step, mesh=mesh,
+                            in_specs=(P(), P(None, "data")),
+                            out_specs=(P(), P()),
+                            check_rep=False)
+        return jax.jit(smapped, donate_argnums=(0,))
+    step = build_train_step(cfg, dsteps, gsteps)
     replicated = NamedSharding(mesh, P())
     data_sharding = NamedSharding(mesh, P(None, "data"))   # shard global batch dim
     return jax.jit(step,

@@ -1,0 +1,72 @@
+"""shard_map ring training mode: runs, keeps state replicated, and the
+loss equals the single-device global-batch loss."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from smmdax.configs import Config
+from smmdax.data import make_dataset
+from smmdax.data.pipeline import macro_batch_at
+from smmdax.losses import critic_loss, mmd2_objective
+from smmdax.train import create_state, jit_train_step, make_mesh
+
+N_DEV = 8
+
+
+def _tiny_cfg(**kw):
+    base = dict(model="smmd", kernel="rq", dataset="synthetic", batch_size=16,
+                output_size=32, gf_dim=8, df_dim=8, dof_dim=4, z_dim=8,
+                dsteps=1, gsteps=1, num_data_shards=N_DEV, use_ring_mmd=True)
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.mark.parametrize("use_ring", [True, False])
+def test_sharded_critic_loss_matches_global(use_ring):
+    """critic_loss under shard_map (gather or ring path) == global."""
+    cfg = _tiny_cfg(use_ring_mmd=use_ring, model="smmd")
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    real = jax.random.normal(k1, (16, 4, 4, 2)) * 0.5
+    fake = jax.random.normal(k2, (16, 4, 4, 2)) * 0.5 + 0.3
+    w = jax.random.normal(k3, (4 * 4 * 2, 4)) * 0.3
+    critic = lambda x: x.reshape(x.shape[0], -1) @ w
+
+    loss_g, aux_g = critic_loss(cfg, critic, real, fake, jax.random.PRNGKey(1))
+
+    mesh = Mesh(np.array(jax.devices()[:N_DEV]), ("data",))
+    fn = shard_map(
+        lambda r, f: critic_loss(cfg, critic, r, f, jax.random.PRNGKey(1),
+                                 axis_name="data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=(P(), P()),
+        check_rep=False)
+    loss_s, aux_s = jax.jit(fn)(real, fake)
+    assert float(loss_s) == pytest.approx(float(loss_g), rel=2e-4, abs=1e-6)
+    assert float(aux_s.sigma) == pytest.approx(float(aux_g.sigma), rel=2e-4)
+    assert float(aux_s.mmd2) == pytest.approx(float(aux_g.mmd2), rel=2e-4,
+                                              abs=1e-6)
+
+
+def test_shardmap_step_runs_and_stays_replicated():
+    cfg = _tiny_cfg()
+    source = make_dataset(cfg)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(N_DEV)
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, mesh=mesh,
+                          mode="shard_map")
+    for i in range(2):
+        batch = jnp.asarray(macro_batch_at(source, i, 2, cfg.batch_size))
+        state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    # replication check: the same value must be on every device shard
+    leaf = jax.tree.leaves(state.d_params)[0]
+    vals = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for v in vals[1:]:
+        np.testing.assert_array_equal(vals[0], v)
+    assert int(state.step) == 2
