@@ -34,6 +34,7 @@ ARCHS = ("dcgan", "resnet", "mlp")
 DATASETS = ("cifar10", "celeba", "imagenet64", "lsun", "mnist",
             "gaussian_mix", "synthetic")
 SCALING_VARIANTS = ("grad", "value_and_grad")
+GRAD_ESTIMATORS = ("exact", "sum", "hutchinson")
 GP_VARIANTS = ("one_sided", "two_sided")
 
 
@@ -74,6 +75,12 @@ class Config:
     with_scaling: bool = False           # scaled-MMD normalizer (set by model=smmd)
     scaling_coeff: float = 10.0          # lambda in sigma = lambda + E||dD/dx||^2
     scaling_variant: str = "grad"        # grad | value_and_grad
+    # Jacobian-norm estimator for sigma:
+    #   exact      - full ||J||_F^2 via jacrev (dof_dim cotangents; paper-exact)
+    #   sum        - ||grad of summed features||^2 (one backward; the
+    #                tf.gradients-of-a-vector analog of the TF1 lineage)
+    #   hutchinson - unbiased ||J||_F^2 via one Rademacher probe
+    scaling_grad_estimator: str = "exact"
     with_sn: bool = False                # spectral norm on critic (set by sn-smmd)
     sn_iters: int = 1                    # power-iteration steps per update
 
@@ -126,6 +133,9 @@ class Config:
             raise ValueError(f"scaling_variant must be one of {SCALING_VARIANTS}")
         if self.gp_variant not in GP_VARIANTS:
             raise ValueError(f"gp_variant must be one of {GP_VARIANTS}")
+        if self.scaling_grad_estimator not in GRAD_ESTIMATORS:
+            raise ValueError(
+                f"scaling_grad_estimator must be one of {GRAD_ESTIMATORS}")
         # model implies regularizer wiring, mirroring the reference dispatch
         if self.model in ("smmd", "sn-smmd") and not self.with_scaling:
             object.__setattr__(self, "with_scaling", True)

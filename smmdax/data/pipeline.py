@@ -44,11 +44,18 @@ class DataSource(Protocol):
 
 
 class ArraySource:
-    """In-memory array of samples in [-1, 1]; shuffled minibatches."""
+    """In-memory dataset; shuffled minibatches in [-1, 1].
 
-    def __init__(self, data: Array, seed: int = 0):
+    uint8 data stays uint8 in memory (4x smaller than pre-normalized
+    float) and each batch is assembled by the native C++ gather +
+    normalize (+ optional flip) fast path (smmdax.data.native) — the
+    queue-runner-equivalent host work of the reference, SURVEY.md #9.
+    """
+
+    def __init__(self, data: Array, seed: int = 0, flip: bool = False):
         self.data = data
         self.seed = seed
+        self.flip = flip and data.ndim == 4
         self._rng = np.random.default_rng(seed)
 
     @property
@@ -59,6 +66,11 @@ class ArraySource:
         rng = self._rng if key is None else np.random.default_rng(
             (self.seed, key))
         idx = rng.integers(0, len(self.data), size=n)
+        if self.data.dtype == np.uint8:
+            from smmdax.data.native import gather_normalize
+            flips = (rng.integers(0, 2, size=n).astype(np.uint8)
+                     if self.flip else None)
+            return gather_normalize(self.data, idx, flips)
         return self.data[idx]
 
 
@@ -74,7 +86,7 @@ def _load_cifar10(data_dir: str) -> Optional[Array]:
             d = pickle.load(fh, encoding="bytes")
         arrs.append(np.asarray(d[b"data"], np.uint8))
     x = np.concatenate(arrs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-    return (x.astype(np.float32) / 127.5) - 1.0
+    return np.ascontiguousarray(x)         # uint8; normalized per batch
 
 
 def _load_npz_images(data_dir: str, subdir: str, size: int) -> Optional[Array]:
@@ -92,8 +104,7 @@ def _load_npz_images(data_dir: str, subdir: str, size: int) -> Optional[Array]:
         if d.ndim == 2:      # flattened CHW
             d = d.reshape(-1, 3, size, size).transpose(0, 2, 3, 1)
         arrs.append(np.asarray(d, np.uint8))
-    x = np.concatenate(arrs)
-    return (x.astype(np.float32) / 127.5) - 1.0
+    return np.concatenate(arrs)            # uint8; normalized per batch
 
 
 class CelebASource:
@@ -164,8 +175,7 @@ def make_dataset(cfg: Config) -> DataSource:
             with open(path, "rb") as f:
                 f.read(16)
                 x = np.frombuffer(f.read(), np.uint8).reshape(-1, 28, 28, 1)
-            return ArraySource(x.astype(np.float32) / 127.5 - 1.0,
-                               seed=cfg.random_seed)
+            return ArraySource(x.copy(), seed=cfg.random_seed)
     elif ds in ("celeba", "lsun"):
         root = os.path.join(cfg.data_dir, ds)
         if os.path.isdir(root):

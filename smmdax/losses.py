@@ -102,19 +102,48 @@ def _scalar_critic(features: Array) -> Array:
 # SMMD normalizer
 
 
-def sobolev_scale(cfg: Config, critic: Critic, real: Array) -> Array:
+def sobolev_scale(cfg: Config, critic: Critic, real: Array,
+                  rng: Optional[jax.Array] = None) -> Array:
     """sigma_{k,lambda} = lambda + E_real ||J_phi(x)||_F^2 (+ E||phi||^2).
 
-    The Frobenius norm of the critic-feature Jacobian is computed
-    exactly via ``jacrev`` (dof_dim cotangents, vectorized — dof_dim is
-    <= ~128 so this is a modest constant factor on the critic backward,
-    all MXU work).  SURVEY.md component #4.
-    """
-    def phi_single(x: Array) -> Array:
-        return critic(x[None])[0]                      # (dof_dim,)
+    Estimator selected by ``cfg.scaling_grad_estimator``
+    (SURVEY.md component #4):
 
-    jac = jax.vmap(jax.jacrev(phi_single))(real)       # (B, dof, H, W, C)
-    grad_sq = jnp.sum(jac * jac, axis=tuple(range(1, jac.ndim)))   # (B,)
+    * ``exact`` — full Frobenius norm via ``jacrev`` (dof_dim
+      cotangents, vectorized; paper-exact, the default and the test
+      oracle for the others).
+    * ``sum`` — ||d(sum_d phi_d)/dx||^2 in one backward pass: the
+      analog of TF1's ``tf.gradients`` on a vector output (which
+      differentiates the SUM of outputs), i.e. what the reference's
+      graph actually computes [R-MED, unverifiable offline].  A lower
+      bound on the Frobenius norm; ~dof_dim x cheaper.
+    * ``hutchinson`` — unbiased ||J||_F^2 via one Rademacher probe v:
+      E_v ||d(phi.v)/dx||^2 = ||J||_F^2; one backward pass per step.
+    """
+    est = cfg.scaling_grad_estimator
+
+    if est == "exact":
+        def phi_single(x: Array) -> Array:
+            return critic(x[None])[0]                  # (dof_dim,)
+
+        jac = jax.vmap(jax.jacrev(phi_single))(real)   # (B, dof, H, W, C)
+        grad_sq = jnp.sum(jac * jac, axis=tuple(range(1, jac.ndim)))
+    else:
+        if est == "hutchinson":
+            if rng is None:
+                raise ValueError("hutchinson estimator needs an rng")
+            probe = jax.random.rademacher(
+                rng, (critic(real[:1]).shape[-1],), dtype=jnp.float32)
+        else:
+            probe = None
+
+        def scalar_out(x: Array) -> Array:
+            f = critic(x)
+            return jnp.sum(f if probe is None else f * probe)
+
+        grads = jax.grad(scalar_out)(real)             # (B, H, W, C)
+        grad_sq = jnp.sum(grads * grads, axis=tuple(range(1, grads.ndim)))
+
     value_sq = None
     if cfg.scaling_variant == "value_and_grad":
         feats = critic(real)
@@ -215,7 +244,8 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
 
     sigma = jnp.float32(1.0)
     if cfg.with_scaling:
-        sigma = _pmean(sobolev_scale(cfg, critic, real), axis_name)
+        rng, rng_scale = jax.random.split(rng)
+        sigma = _pmean(sobolev_scale(cfg, critic, real, rng_scale), axis_name)
         objective = objective / sigma
 
     loss = -objective
@@ -239,7 +269,8 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
 
 def generator_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
                    scale_g_loss: bool = True,
-                   axis_name: Optional[str] = None) -> Tuple[Array, LossAux]:
+                   axis_name: Optional[str] = None,
+                   rng: Optional[jax.Array] = None) -> Tuple[Array, LossAux]:
     """The g-step objective (minimized).
 
     For MMD losses G minimizes the (optionally scaled) MMD^2; the
@@ -263,8 +294,10 @@ def generator_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
     loss = mmd2_val
     sigma = jnp.float32(1.0)
     if cfg.with_scaling and scale_g_loss:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)   # hutchinson only; others ignore it
         sigma = jax.lax.stop_gradient(
-            _pmean(sobolev_scale(cfg, critic, real), axis_name))
+            _pmean(sobolev_scale(cfg, critic, real, rng), axis_name))
         loss = loss / sigma
     aux = LossAux(mmd2=mmd2_val, sigma=sigma, gp=jnp.float32(0),
                   ratio=mmd2_val,

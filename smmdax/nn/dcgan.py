@@ -13,7 +13,7 @@ variants with one parametric module.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -40,6 +40,7 @@ class DCGANGenerator(nn.Module):
     gf_dim: int = 64
     z_dim: int = 128
     use_bn: bool = True
+    dtype: Optional[Any] = None       # bfloat16 compute; params stay f32
 
     @nn.compact
     def __call__(self, z: Array, train: bool = True) -> Array:
@@ -47,21 +48,23 @@ class DCGANGenerator(nn.Module):
         width = self.gf_dim * (2 ** (n_up - 1))
 
         x = SNDense(base * base * width, kernel_init=default_kernel_init,
-                    name="project")(z)
+                    dtype=self.dtype, name="project")(z)
         x = x.reshape(-1, base, base, width)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train, name="bn_in")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype, name="bn_in")(x)
         x = nn.relu(x)
 
         for i in range(n_up - 1):
             width //= 2
-            x = ConvTranspose(width, name=f"deconv{i}")(x)
+            x = ConvTranspose(width, dtype=self.dtype, name=f"deconv{i}")(x)
             if self.use_bn:
-                x = nn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
 
-        x = ConvTranspose(self.c_dim, name="deconv_out")(x)
-        return jnp.tanh(x)
+        x = ConvTranspose(self.c_dim, dtype=self.dtype, name="deconv_out")(x)
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class DCGANDiscriminator(nn.Module):
@@ -78,6 +81,7 @@ class DCGANDiscriminator(nn.Module):
     dof_dim: int = 16
     use_sn: bool = False
     sn_iters: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, update_sn: bool = False) -> Array:
@@ -86,9 +90,10 @@ class DCGANDiscriminator(nn.Module):
         for i in range(n_down):
             x = SNConv(width, kernel_size=(4, 4), strides=(2, 2),
                        use_sn=self.use_sn, sn_iters=self.sn_iters,
-                       name=f"conv{i}")(x, update_sn=update_sn)
+                       dtype=self.dtype, name=f"conv{i}")(x, update_sn=update_sn)
             x = lrelu(x)
             width *= 2
         x = x.reshape(x.shape[0], -1)
-        return SNDense(self.dof_dim, use_sn=self.use_sn, sn_iters=self.sn_iters,
-                       name="head")(x, update_sn=update_sn)
+        feats = SNDense(self.dof_dim, use_sn=self.use_sn, sn_iters=self.sn_iters,
+                        dtype=self.dtype, name="head")(x, update_sn=update_sn)
+        return feats.astype(jnp.float32)   # MMD math is always f32

@@ -22,7 +22,7 @@ original, by design:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,22 +85,31 @@ class _SNMixin:
 
 
 class SNDense(nn.Module, _SNMixin):
-    """Dense layer with optional spectral normalization."""
+    """Dense layer with optional spectral normalization.
+
+    ``dtype``: compute dtype (params stay float32; bfloat16 compute
+    feeds the MXU at 2x — the SN power iteration always runs f32).
+    """
 
     features: int
     use_bias: bool = True
     use_sn: bool = False
     sn_iters: int = 1
     kernel_init: Callable = default_kernel_init
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, update_sn: bool = False) -> Array:
         kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
         if self.use_sn:
             kernel = kernel / self._spectral_sigma(kernel, update_sn)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jnp.dot(x, kernel)
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
 
@@ -115,6 +124,7 @@ class SNConv(nn.Module, _SNMixin):
     use_sn: bool = False
     sn_iters: int = 1
     kernel_init: Callable = default_kernel_init
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, update_sn: bool = False) -> Array:
@@ -123,6 +133,9 @@ class SNConv(nn.Module, _SNMixin):
                             (kh, kw, x.shape[-1], self.features))
         if self.use_sn:
             kernel = kernel / self._spectral_sigma(kernel, update_sn)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=self.strides,
@@ -130,7 +143,8 @@ class SNConv(nn.Module, _SNMixin):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
 
@@ -139,6 +153,7 @@ def ConvTranspose(features: int,
                   strides: Tuple[int, int] = (2, 2),
                   use_bias: bool = True,
                   kernel_init: Callable = default_kernel_init,
+                  dtype=None,
                   name: str = None) -> nn.ConvTranspose:
     """Stride-2 transposed conv (the reference's deconv2d).
 
@@ -149,7 +164,7 @@ def ConvTranspose(features: int,
     return nn.ConvTranspose(features=features, kernel_size=kernel_size,
                             strides=strides, padding="SAME",
                             use_bias=use_bias, kernel_init=kernel_init,
-                            name=name)
+                            dtype=dtype, name=name)
 
 
 def upsample_nearest(x: Array, factor: int = 2) -> Array:

@@ -11,7 +11,7 @@ Width/depth schedules are derived from ``output_size``:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -38,21 +38,27 @@ class GenBlock(nn.Module):
 
     features: int
     upsample: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
-        h = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn1")(x)
         h = nn.relu(h)
         if self.upsample:
             h = upsample_nearest(h)
-        h = SNConv(self.features, (3, 3), kernel_init=_glorot, name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        h = SNConv(self.features, (3, 3), kernel_init=_glorot,
+                   dtype=self.dtype, name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn2")(h)
         h = nn.relu(h)
-        h = SNConv(self.features, (3, 3), kernel_init=_glorot, name="conv2")(h)
+        h = SNConv(self.features, (3, 3), kernel_init=_glorot,
+                   dtype=self.dtype, name="conv2")(h)
 
         sc = upsample_nearest(x) if self.upsample else x
         if sc.shape[-1] != self.features:
-            sc = SNConv(self.features, (1, 1), kernel_init=_glorot, name="conv_sc")(sc)
+            sc = SNConv(self.features, (1, 1), kernel_init=_glorot,
+                        dtype=self.dtype, name="conv_sc")(sc)
         return h + sc
 
 
@@ -64,10 +70,12 @@ class DiscBlock(nn.Module):
     first: bool = False          # the 'optimized' input block (no leading ReLU)
     use_sn: bool = False
     sn_iters: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, update_sn: bool = False) -> Array:
-        sn = dict(use_sn=self.use_sn, sn_iters=self.sn_iters, kernel_init=_glorot)
+        sn = dict(use_sn=self.use_sn, sn_iters=self.sn_iters,
+                  kernel_init=_glorot, dtype=self.dtype)
         h = x if self.first else nn.relu(x)
         h = SNConv(self.features, (3, 3), name="conv1", **sn)(h, update_sn=update_sn)
         h = nn.relu(h)
@@ -94,6 +102,7 @@ class ResNetGenerator(nn.Module):
     c_dim: int = 3
     gf_dim: int = 64
     z_dim: int = 128
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, z: Array, train: bool = True) -> Array:
@@ -102,14 +111,16 @@ class ResNetGenerator(nn.Module):
         widths = ([4 * self.gf_dim] * n_up if n_up <= 3
                   else _gen_widths(self.gf_dim, n_up))
         x = SNDense(base * base * widths[0], kernel_init=_glorot,
-                    name="project")(z)
+                    dtype=self.dtype, name="project")(z)
         x = x.reshape(-1, base, base, widths[0])
         for i, w in enumerate(widths):
-            x = GenBlock(w, name=f"block{i}")(x, train=train)
-        x = nn.BatchNorm(use_running_average=not train, name="bn_out")(x)
+            x = GenBlock(w, dtype=self.dtype, name=f"block{i}")(x, train=train)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn_out")(x)
         x = nn.relu(x)
-        x = SNConv(self.c_dim, (3, 3), kernel_init=_glorot, name="conv_out")(x)
-        return jnp.tanh(x)
+        x = SNConv(self.c_dim, (3, 3), kernel_init=_glorot, dtype=self.dtype,
+                   name="conv_out")(x)
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class ResNetDiscriminator(nn.Module):
@@ -118,11 +129,12 @@ class ResNetDiscriminator(nn.Module):
     dof_dim: int = 16
     use_sn: bool = False
     sn_iters: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, update_sn: bool = False) -> Array:
         base, n_down = _base_and_blocks(self.output_size)
-        sn = dict(use_sn=self.use_sn, sn_iters=self.sn_iters)
+        sn = dict(use_sn=self.use_sn, sn_iters=self.sn_iters, dtype=self.dtype)
         if n_down <= 3:
             # CIFAR-10 SN-GAN schedule: 128-wide, two extra no-down blocks
             w = 2 * self.df_dim
@@ -137,6 +149,8 @@ class ResNetDiscriminator(nn.Module):
                 x = DiscBlock(w, downsample=True, first=(i == 0),
                               name=f"block{i}", **sn)(x, update_sn=update_sn)
         x = nn.relu(x)
-        x = jnp.sum(x, axis=(1, 2))          # global sum pool
-        return SNDense(self.dof_dim, kernel_init=_glorot, name="head", **sn)(
+        x = jnp.sum(x.astype(jnp.float32), axis=(1, 2))   # global sum pool
+        feats = SNDense(self.dof_dim, kernel_init=_glorot, name="head",
+                        use_sn=self.use_sn, sn_iters=self.sn_iters)(
             x, update_sn=update_sn)
+        return feats.astype(jnp.float32)     # MMD math is always f32

@@ -146,13 +146,23 @@ class Trainer:
 
     def _save_samples(self, step: int) -> None:
         cfg = self.cfg
+        out_dir = os.path.join(cfg.sample_dir, cfg.run_name())
         if cfg.dataset == "gaussian_mix":
-            return  # 1-D toy has its own visualization (smmdax.viz)
+            # toy: histogram + witness-function frame (reference §3.5)
+            from smmdax.nn import build_models
+            from smmdax.viz import plot_toy_frame
+            _, disc = build_models(cfg)
+            variables = {"params": self.state.d_params,
+                         "spectral": self.state.d_spectral}
+            critic = lambda x: disc.apply(variables, x, update_sn=False)
+            fake = np.asarray(sample(cfg, self.state,
+                                     jax.random.PRNGKey(step), 2048))
+            real = self.source.batch(2048, key=2**31)  # off the step-key range
+            plot_toy_frame(cfg, critic, real, fake, step, out_dir)
+            return
         imgs = np.asarray(sample(cfg, self.state,
                                  jax.random.PRNGKey(step), 64))
-        path = os.path.join(cfg.sample_dir, cfg.run_name(),
-                            f"sample_{step:07d}.png")
-        save_images(imgs, path)
+        save_images(imgs, os.path.join(out_dir, f"sample_{step:07d}.png"))
 
 
 def train(cfg: Config) -> TrainState:
