@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# SN-SMMDGAN on CIFAR-10, ResNet G/D (the paper's best CIFAR model).
+python main.py \
+  --is_train true --dataset cifar10 --architecture resnet \
+  --model sn-smmd --kernel rq \
+  --batch_size 64 --output_size 32 --dof_dim 16 \
+  --learning_rate 1e-4 --beta1 0.5 --beta2 0.9 \
+  --dsteps 5 --start_dsteps 10 \
+  --scaling_coeff 10.0 \
+  --max_iteration 150000 --MMD_lr_scheduler true --decay_rate 0.8 \
+  --compute_scores true --score_every 2000 \
+  --compute_dtype bfloat16 --scaling_grad_estimator hutchinson \
+  "$@"

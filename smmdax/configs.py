@@ -14,6 +14,11 @@ the reference can switch over without relearning the surface.
 Unlike the reference (a TF1 flags blob mutated at import time) this is a
 frozen dataclass: configs are values, pass them around, jit over them as
 static arguments.
+
+Intentionally omitted reference flags: ``gpu_mem`` (a TF1
+per-process-GPU-memory-fraction session knob — XLA/TPU memory is
+compiler-managed) and TF1 queue sizing knobs (the input pipeline is
+stateless, see smmdax.data).
 """
 
 from __future__ import annotations
@@ -47,8 +52,8 @@ class Config:
     dataset: str = "cifar10"
 
     # --- shapes -----------------------------------------------------------
-    batch_size: int = 64            # generated (fake) batch per step, per replica
-    real_batch_size: int = 64       # real batch per step, per replica
+    batch_size: int = 64            # generated (fake) GLOBAL batch per update
+    real_batch_size: int = 64       # real GLOBAL batch per update
     output_size: int = 32           # image H=W
     c_dim: int = 3                  # image channels
     z_dim: int = 128                # latent dim
@@ -106,6 +111,13 @@ class Config:
     use_ring_mmd: bool = False           # block-row ring estimator over ICI
     use_pallas: bool = False             # Pallas fused kernel+MMD hot path
     compute_dtype: str = "float32"       # bfloat16 for MXU-heavy conv paths
+
+    # --- observability (SURVEY.md §5: tracing/profiling + numerics
+    #     harness, the TPU analogs of TensorBoard + tf.check_numerics) ---
+    debug_nans: bool = False         # enable jax NaN checks (slow; debugging)
+    profile_steps: int = 0           # trace steps [start, start+5) with
+    profile_start: int = 10          #   jax.profiler into log_dir/profile
+    tensorboard: bool = False        # also write tf.summary event files
 
     # --- bookkeeping --------------------------------------------------------
     is_train: bool = True

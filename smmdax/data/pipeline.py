@@ -155,6 +155,20 @@ class CelebASource:
 # dispatch
 
 
+def _try_tfrecords(cfg: Config, subdir: str):
+    """TFRecord shards under data_dir/<subdir> (reference reads
+    LSUN/ImageNet this way, SURVEY.md #9)."""
+    root = os.path.join(cfg.data_dir, subdir)
+    if not os.path.isdir(root):
+        return None
+    if not any(".tfrecord" in f for f in os.listdir(root)):
+        return None
+    from smmdax.data.tfrecord import TFRecordSource
+    crop = 160 if subdir == "celeba" else None
+    return TFRecordSource(root, cfg.output_size, crop=crop,
+                          seed=cfg.random_seed)
+
+
 def make_dataset(cfg: Config) -> DataSource:
     ds = cfg.dataset
     if ds == "gaussian_mix":
@@ -169,6 +183,9 @@ def make_dataset(cfg: Config) -> DataSource:
         data = _load_npz_images(cfg.data_dir, "imagenet64", 64)
         if data is not None:
             return ArraySource(data, seed=cfg.random_seed)
+        src = _try_tfrecords(cfg, "imagenet64")
+        if src is not None:
+            return src
     elif ds == "mnist":
         path = os.path.join(cfg.data_dir, "mnist", "train-images-idx3-ubyte")
         if os.path.exists(path):
@@ -177,6 +194,9 @@ def make_dataset(cfg: Config) -> DataSource:
                 x = np.frombuffer(f.read(), np.uint8).reshape(-1, 28, 28, 1)
             return ArraySource(x.copy(), seed=cfg.random_seed)
     elif ds in ("celeba", "lsun"):
+        src = _try_tfrecords(cfg, ds)
+        if src is not None:
+            return src
         root = os.path.join(cfg.data_dir, ds)
         if os.path.isdir(root):
             try:

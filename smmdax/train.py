@@ -125,6 +125,15 @@ def _apply_update(adam, grads, params, opt_state, lr):
     return params, opt_state
 
 
+def _fake_count(cfg: Config, axis_name) -> int:
+    """Generated-batch size (global in GSPMD code, per-shard inside
+    shard_map).  The reference exposes batch_size (fake) and
+    real_batch_size independently; both are GLOBAL batch sizes here."""
+    if axis_name is None:
+        return cfg.batch_size
+    return cfg.batch_size // jax.lax.axis_size(axis_name)
+
+
 def _shard_rng(rng: jax.Array, axis_name) -> jax.Array:
     """Distinct RNG stream per data shard (inside shard_map)."""
     if axis_name is None:
@@ -142,7 +151,7 @@ def _d_update(cfg: Config, gen, disc, adam, state: TrainState,
               real: Array, rng: jax.Array,
               axis_name=None) -> Tuple[TrainState, LossAux]:
     rng_z, rng_gp = jax.random.split(_shard_rng(rng, axis_name))
-    z = jax.random.uniform(rng_z, (real.shape[0], cfg.z_dim),
+    z = jax.random.uniform(rng_z, (_fake_count(cfg, axis_name), cfg.z_dim),
                            minval=-1.0, maxval=1.0)
     fake, _ = _generate(gen, cfg, state.g_params, state.g_batch_stats, z,
                         update_stats=False)
@@ -167,7 +176,7 @@ def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
               real: Array, rng: jax.Array,
               axis_name=None) -> Tuple[TrainState, LossAux]:
     z = jax.random.uniform(_shard_rng(rng, axis_name),
-                           (real.shape[0], cfg.z_dim),
+                           (_fake_count(cfg, axis_name), cfg.z_dim),
                            minval=-1.0, maxval=1.0)
     critic = _critic_fn(disc, state.d_params, state.d_spectral)
 

@@ -34,6 +34,10 @@ from smmdax.utils import MetricWriter, StepTimer, save_images
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        if cfg.debug_nans:
+            # numerics harness: the TPU analog of the reference's
+            # tf.check_numerics guards (SURVEY.md §5)
+            jax.config.update("jax_debug_nans", True)
         self.source = make_dataset(cfg)
         self.mesh = (make_mesh(cfg.num_data_shards)
                      if cfg.num_data_shards > 1 else None)
@@ -45,7 +49,8 @@ class Trainer:
             self.state = restored
             print(f"[smmdax] resumed from step {int(self.state.step)}")
         self.writer = MetricWriter(cfg.log_dir, cfg.run_name(),
-                                   also_stdout=cfg.log)
+                                   also_stdout=cfg.log,
+                                   tensorboard=cfg.tensorboard)
         # two compiled programs: warm-up alternation and main alternation
         self._step_main = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, self.mesh)
         self._step_warm = (jit_train_step(cfg, cfg.start_dsteps, cfg.gsteps,
@@ -106,18 +111,43 @@ class Trainer:
         timer = StepTimer()
         step = int(self.state.step)
 
+        # Preemption handling (SURVEY.md §5 failure-detection row): on
+        # SIGTERM/SIGINT finish the in-flight step, checkpoint, and exit
+        # cleanly; the next run auto-resumes from that checkpoint.
+        import signal
+        preempted = {"flag": False}
+
+        def _on_term(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            old_term = signal.signal(signal.SIGTERM, _on_term)
+            old_int = signal.signal(signal.SIGINT, _on_term)
+        except ValueError:           # not the main thread (tests)
+            old_term = old_int = None
+
         while step < cfg.max_iteration:
+            if preempted["flag"]:
+                print(f"[smmdax] preemption signal: checkpointing at step {step}")
+                self.ckpt.save(step, jax.device_get(self.state), wait=True)
+                break
             warm = self._dsteps_at(step) == cfg.start_dsteps and \
                 cfg.start_dsteps != cfg.dsteps
             per_step = (cfg.start_dsteps if warm else cfg.dsteps) + cfg.gsteps
             # batches are a pure function of (seed, step): the pipeline
             # resumes exactly with the checkpoint (stateless resumability)
             batch = jnp.asarray(macro_batch_at(self.source, step, per_step,
-                                               cfg.batch_size))
+                                               cfg.real_batch_size))
             step_fn = self._step_warm if warm else self._step_main
+            if cfg.profile_steps and step == cfg.profile_start:
+                jax.profiler.start_trace(
+                    os.path.join(cfg.log_dir, "profile", cfg.run_name()))
             self.state, metrics = step_fn(self.state, batch)
             step += 1
-            timer.add(batch.shape[0] * batch.shape[1])
+            if cfg.profile_steps and step == cfg.profile_start + cfg.profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+            timer.add(per_step * cfg.real_batch_size)   # same accounting as bench.py
 
             if cfg.lr_decay_steps and step % cfg.lr_decay_steps == 0:
                 self.state = self.state.replace(
@@ -141,6 +171,9 @@ class Trainer:
                 scores = self._score(step)
                 self.writer.write(step, scores)
 
+        if old_term is not None:
+            signal.signal(signal.SIGTERM, old_term)
+            signal.signal(signal.SIGINT, old_int)
         self.ckpt.save(step, jax.device_get(self.state), wait=True)
         return self.state
 

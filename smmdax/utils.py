@@ -49,15 +49,26 @@ def save_images(images: Array, path: str, nrow: Optional[int] = None) -> None:
 
 
 class MetricWriter:
-    """Structured metrics: JSONL on disk + stdout lines (the TPU-side
-    replacement for the reference's TensorBoard summaries + stdout-tee
-    Logger; SURVEY.md §5 observability row)."""
+    """Structured metrics: JSONL on disk + stdout lines + optional
+    TensorBoard event files (the reference used tf.summary exclusively;
+    JSONL is the primary machine-readable record here, TensorBoard is
+    opt-in via the installed TF2 CPU package).  SURVEY.md §5
+    observability row."""
 
-    def __init__(self, log_dir: str, run_name: str, also_stdout: bool = True):
+    def __init__(self, log_dir: str, run_name: str, also_stdout: bool = True,
+                 tensorboard: bool = False):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{run_name}.jsonl")
         self._fh = open(self.path, "a", buffering=1)
         self.also_stdout = also_stdout
+        self._tb = None
+        if tensorboard:
+            try:
+                import tensorflow as tf
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(log_dir, "tb", run_name))
+            except Exception as e:
+                print(f"[smmdax] tensorboard writer unavailable ({e})")
 
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         rec = {"step": int(step), "time": time.time(),
@@ -67,9 +78,17 @@ class MetricWriter:
             body = " ".join(f"{k}={v:.5g}" for k, v in rec.items()
                             if k not in ("time",))
             print(f"[smmdax] {body}", flush=True)
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default(step=int(step)):
+                for k, v in metrics.items():
+                    tf.summary.scalar(k, float(v))
+            self._tb.flush()
 
     def close(self) -> None:
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class StepTimer:
