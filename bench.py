@@ -41,7 +41,10 @@ def main() -> None:
     from smmdax.configs import Config
     from smmdax.data import make_dataset
     from smmdax.data.pipeline import macro_batches
-    from smmdax.train import create_state, jit_train_step
+    from smmdax.train import (create_state, enable_compilation_cache,
+                              jit_train_step)
+
+    enable_compilation_cache()
 
     # Production configuration: every headline feature on (spectral
     # norm, scaled MMD, RQ mixture) with the optimized execution paths —

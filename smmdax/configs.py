@@ -111,6 +111,9 @@ class Config:
     use_ring_mmd: bool = False           # block-row ring estimator over ICI
     use_pallas: bool = False             # Pallas fused kernel+MMD hot path
     compute_dtype: str = "float32"       # bfloat16 for MXU-heavy conv paths
+    remat: bool = False                  # rematerialize critic forwards in
+                                         # backward passes (HBM for FLOPs —
+                                         # needed for 160px double-backprop)
 
     # --- observability (SURVEY.md §5: tracing/profiling + numerics
     #     harness, the TPU analogs of TensorBoard + tf.check_numerics) ---

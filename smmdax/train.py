@@ -103,9 +103,18 @@ def _generate(gen, cfg: Config, g_params, g_batch_stats, z: Array,
     return fake, (new_stats if update_stats else g_batch_stats)
 
 
-def _critic_fn(disc, d_params, d_spectral) -> Callable[[Array], Array]:
+def _critic_fn(disc, d_params, d_spectral,
+               remat: bool = False) -> Callable[[Array], Array]:
     variables = {"params": d_params, "spectral": d_spectral}
-    return lambda x: disc.apply(variables, x, update_sn=False)
+    fn = lambda x: disc.apply(variables, x, update_sn=False)
+    if remat:
+        # trade HBM for FLOPs: recompute the conv stack in backward
+        # passes instead of storing activations — the double-backprop
+        # paths (witness GP / SMMD sigma) otherwise hold several full
+        # activation sets at 160px (jax.checkpoint composes with
+        # higher-order AD)
+        fn = jax.checkpoint(fn)
+    return fn
 
 
 def _refresh_spectral(disc, cfg: Config, d_params, d_spectral) -> Any:
@@ -160,7 +169,7 @@ def _d_update(cfg: Config, gen, disc, adam, state: TrainState,
     d_spectral = _refresh_spectral(disc, cfg, state.d_params, state.d_spectral)
 
     def loss_fn(d_params):
-        critic = _critic_fn(disc, d_params, d_spectral)
+        critic = _critic_fn(disc, d_params, d_spectral, remat=cfg.remat)
         return critic_loss(cfg, critic, real, fake, rng_gp,
                            axis_name=axis_name)
 
@@ -178,7 +187,8 @@ def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
     z = jax.random.uniform(_shard_rng(rng, axis_name),
                            (_fake_count(cfg, axis_name), cfg.z_dim),
                            minval=-1.0, maxval=1.0)
-    critic = _critic_fn(disc, state.d_params, state.d_spectral)
+    critic = _critic_fn(disc, state.d_params, state.d_spectral,
+                        remat=cfg.remat)
 
     def loss_fn(g_params):
         fake, new_stats = _generate(gen, cfg, g_params, state.g_batch_stats,
@@ -252,6 +262,19 @@ def build_train_step(cfg: Config, dsteps: int, gsteps: int,
         return state, metrics
 
     return train_step
+
+
+def enable_compilation_cache(path: str = "~/.cache/smmdax_xla") -> None:
+    """Persistent XLA compilation cache: first compile through the
+    remote-compile tunnel costs minutes; subsequent processes reuse the
+    serialized executable.  Safe no-op where unsupported."""
+    import os
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def make_mesh(num_shards: int) -> Mesh:

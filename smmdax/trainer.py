@@ -34,6 +34,8 @@ from smmdax.utils import MetricWriter, StepTimer, save_images
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        from smmdax.train import enable_compilation_cache
+        enable_compilation_cache()
         if cfg.debug_nans:
             # numerics harness: the TPU analog of the reference's
             # tf.check_numerics guards (SURVEY.md §5)

@@ -83,3 +83,27 @@ def test_bf16_train_step_runs():
     state, metrics = step(state, batch)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, v)
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint on the critic must not change loss or grads."""
+    from smmdax.data import make_dataset
+    from smmdax.data.pipeline import macro_batch_at
+    from smmdax.train import create_state, jit_train_step
+
+    base = dict(model="smmd", dataset="synthetic", architecture="dcgan",
+                batch_size=8, output_size=32, gf_dim=8, df_dim=8, dof_dim=4,
+                z_dim=8, dsteps=1, gsteps=1, gradient_penalty=1.0)
+    cfg_a = Config(**base, remat=False)
+    cfg_b = Config(**base, remat=True)
+    source = make_dataset(cfg_a)
+    batch = jnp.asarray(macro_batch_at(source, 0, 2, 8))
+
+    outs = []
+    for cfg in (cfg_a, cfg_b):
+        state = create_state(cfg, jax.random.PRNGKey(0))
+        step = jit_train_step(cfg, 1, 1)
+        state, m = step(state, batch)
+        outs.append({k: float(v) for k, v in m.items()})
+    for k in outs[0]:
+        assert outs[0][k] == pytest.approx(outs[1][k], rel=1e-5, abs=1e-7), k
