@@ -4,12 +4,14 @@ Computes, without materializing any (m, n) Gram matrix in HBM,
 
     S(a, b; exclude_diag) = sum_{i,j} mask * k(||a_i - b_j||^2)
 
-for Gaussian-RBF / rational-quadratic mixtures, tiled so each grid
-program streams one (TM, d) row tile of ``a`` against all of ``b`` held
-in VMEM: one MXU matmul produces the -2 a b^T term, the VPU applies the
-mixture, and a masked reduction accumulates into an SMEM scalar (TPU
-grid programs run sequentially on a core, so `+=` accumulation across
-programs is safe).
+for Gaussian-RBF / rational-quadratic mixtures, tiled over a 2-D
+(row-tile, col-tile) grid so each program touches one (TM, d) block of
+``a`` and one (TN, d) block of ``b`` in VMEM: one MXU matmul produces
+the -2 a b^T term, the VPU applies the mixture, and a masked reduction
+accumulates into an SMEM scalar (TPU grid programs run sequentially on
+a core, so `+=` accumulation across programs is safe).  VMEM use is
+O(TM*TN), independent of batch size — global batches of 100k+ features
+stream through without ever materializing a Gram matrix.
 
 Backward: for the scalar cotangent c,
 
@@ -77,16 +79,17 @@ def _mixture_g(d2, kernel: str, params: Sequence[float]):
 # forward
 
 
-def _fwd_kernel(a_ref, b_ref, out_ref, *, kernel, params, m, n, tm,
+def _fwd_kernel(a_ref, b_ref, out_ref, *, kernel, params, m, n, tm, tn,
                 exclude_diag):
     i = pl.program_id(0)
+    j = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
         out_ref[0, 0] = jnp.float32(0.0)
 
     a = a_ref[...]                    # (TM, D)
-    b = b_ref[...]                    # (N_pad, D)
+    b = b_ref[...]                    # (TN, D)
     d2 = (jnp.sum(a * a, axis=1, keepdims=True)
           + jnp.sum(b * b, axis=1, keepdims=True).T
           - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32))
@@ -94,7 +97,7 @@ def _fwd_kernel(a_ref, b_ref, out_ref, *, kernel, params, m, n, tm,
     k = _mixture_k(d2, kernel, params)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0) + i * tm
-    cols = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) + j * tn
     mask = (rows < m) & (cols < n)
     if exclude_diag:
         mask &= rows != cols
@@ -102,19 +105,19 @@ def _fwd_kernel(a_ref, b_ref, out_ref, *, kernel, params, m, n, tm,
 
 
 def _pair_sum(a: Array, b: Array, kernel: str, params, exclude_diag: bool,
-              tm: int = 256) -> Array:
+              tm: int = 256, tn: int = 512) -> Array:
     m, d = a.shape
     n, _ = b.shape
-    mp, np_, dp = _round_up(m, tm), _round_up(n, 128), _round_up(d, 128)
+    mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
     a = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
     b = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, kernel=kernel, params=tuple(params),
-                          m=m, n=n, tm=tm, exclude_diag=exclude_diag),
-        grid=(mp // tm,),
+                          m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
+        grid=(mp // tm, np_ // tn),
         in_specs=[
-            pl.BlockSpec((tm, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -127,9 +130,10 @@ def _pair_sum(a: Array, b: Array, kernel: str, params, exclude_diag: bool,
 # backward
 
 
-def _bwd_kernel(a_ref, b_ref, da_ref, *, kernel, params, m, n, tm,
+def _bwd_kernel(a_ref, b_ref, da_ref, *, kernel, params, m, n, tm, tn,
                 exclude_diag):
     i = pl.program_id(0)
+    j = pl.program_id(1)
     a = a_ref[...]
     b = b_ref[...]
     d2 = (jnp.sum(a * a, axis=1, keepdims=True)
@@ -139,7 +143,7 @@ def _bwd_kernel(a_ref, b_ref, da_ref, *, kernel, params, m, n, tm,
     g = _mixture_g(d2, kernel, params)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + i * tm
-    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1) + j * tn
     mask = (rows < m) & (cols < n)
     if exclude_diag:
         mask &= rows != cols
@@ -147,27 +151,37 @@ def _bwd_kernel(a_ref, b_ref, da_ref, *, kernel, params, m, n, tm,
 
     rowsum = jnp.sum(g, axis=1, keepdims=True)           # (TM, 1)
     gb = jnp.dot(g, b, preferred_element_type=jnp.float32)  # (TM, D)
-    da_ref[...] = rowsum * a - gb
+    part = rowsum * a - gb
+
+    # column tiles accumulate into the same row-block of da (grid runs
+    # sequentially on a TPU core, so += across j is safe)
+    @pl.when(j == 0)
+    def _():
+        da_ref[...] = part
+
+    @pl.when(j != 0)
+    def _():
+        da_ref[...] += part
 
 
 def _pair_sum_grad_a(a: Array, b: Array, kernel: str, params,
-                     exclude_diag: bool, tm: int = 256) -> Array:
+                     exclude_diag: bool, tm: int = 256, tn: int = 512) -> Array:
     """d/da of sum_{ij} k(d2(a_i, b_j)) WITHOUT the cotangent/pair
     factor: returns sum_j g_ij (a_i - b_j), shape of a."""
     m, d = a.shape
     n, _ = b.shape
-    mp, np_, dp = _round_up(m, tm), _round_up(n, 128), _round_up(d, 128)
+    mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
     ap = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
     bp = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
     da = pl.pallas_call(
         functools.partial(_bwd_kernel, kernel=kernel, params=tuple(params),
-                          m=m, n=n, tm=tm, exclude_diag=exclude_diag),
-        grid=(mp // tm,),
+                          m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
+        grid=(mp // tm, np_ // tn),
         in_specs=[
-            pl.BlockSpec((tm, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tm, dp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tm, dp), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, dp), jnp.float32),
         interpret=_INTERPRET,
