@@ -117,10 +117,10 @@ class Trainer:
         # SIGTERM/SIGINT finish the in-flight step, checkpoint, and exit
         # cleanly; the next run auto-resumes from that checkpoint.
         import signal
-        preempted = {"flag": False}
+        self._preempted = False
 
         def _on_term(signum, frame):
-            preempted["flag"] = True
+            self._preempted = True
 
         try:
             old_term = signal.signal(signal.SIGTERM, _on_term)
@@ -129,7 +129,7 @@ class Trainer:
             old_term = old_int = None
 
         while step < cfg.max_iteration:
-            if preempted["flag"]:
+            if self._preempted:
                 print(f"[smmdax] preemption signal: checkpointing at step {step}")
                 self.ckpt.save(step, jax.device_get(self.state), wait=True)
                 break

@@ -79,3 +79,24 @@ def test_scoring_and_kid_scheduler(tmp_path):
     # scores were produced and the best-checkpoint machinery engaged
     assert t._best_feats is not None
     assert np.isfinite(t._best_kid)
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-training -> graceful checkpoint; next run resumes."""
+    import os
+    import signal
+    import threading
+
+    cfg = _cfg(str(tmp_path), max_iteration=2000, checkpoint_every=0,
+               log_every=10_000)
+    t = Trainer(cfg)
+    # deliver SIGTERM to ourselves shortly after training starts
+    timer = threading.Timer(1.5, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    state = t.train()
+    timer.cancel()
+    stopped_at = int(state.step)
+    assert 0 < stopped_at < 2000          # stopped early, not at the end
+
+    t2 = Trainer(cfg)
+    assert int(t2.state.step) == stopped_at   # resumed from the preempt ckpt
