@@ -317,14 +317,25 @@ def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
                    donate_argnums=(0,))
 
 
-def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
-    """Generate n images (eval mode: running BN averages)."""
-    gen, _ = build_models(cfg)
+_SAMPLER_CACHE: Dict[Config, Callable] = {}
 
-    @jax.jit
-    def gen_batch(g_params, g_batch_stats, z):
-        return gen.apply({"params": g_params, "batch_stats": g_batch_stats},
-                         z, train=False)
+
+def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
+    """Generate n images (eval mode: running BN averages).
+
+    The jitted sampler is memoized per config — a fresh jit per call
+    would retrace and recompile at every scoring interval.
+    """
+    gen_batch = _SAMPLER_CACHE.get(cfg)
+    if gen_batch is None:
+        gen, _ = build_models(cfg)
+
+        @jax.jit
+        def gen_batch(g_params, g_batch_stats, z):
+            return gen.apply({"params": g_params,
+                              "batch_stats": g_batch_stats}, z, train=False)
+
+        _SAMPLER_CACHE[cfg] = gen_batch
 
     outs = []
     bs = cfg.batch_size
