@@ -114,6 +114,8 @@ class Config:
     remat: bool = False                  # rematerialize critic forwards in
                                          # backward passes (HBM for FLOPs —
                                          # needed for 160px double-backprop)
+    uint8_transfer: bool = True          # ship real batches to the device as
+                                         # uint8 and normalize on-device
 
     # --- observability (SURVEY.md §5: tracing/profiling + numerics
     #     harness, the TPU analogs of TensorBoard + tf.check_numerics) ---

@@ -223,6 +223,11 @@ def build_train_step(cfg: Config, dsteps: int, gsteps: int,
     adam = _adam(cfg)
 
     def train_step(state: TrainState, real: Array):
+        if real.dtype == jnp.uint8:
+            # uint8 host->device transfer (4x less PCIe/tunnel traffic);
+            # the exact-endpoint normalize fuses into the first conv pass
+            from smmdax.data.transforms import normalize_uint8
+            real = normalize_uint8(real)
         rng, *step_rngs = jax.random.split(state.rng, 1 + dsteps + gsteps)
         state = state.replace(rng=rng)
 

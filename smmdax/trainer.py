@@ -138,8 +138,14 @@ class Trainer:
             per_step = (cfg.start_dsteps if warm else cfg.dsteps) + cfg.gsteps
             # batches are a pure function of (seed, step): the pipeline
             # resumes exactly with the checkpoint (stateless resumability)
-            batch = jnp.asarray(macro_batch_at(self.source, step, per_step,
-                                               cfg.real_batch_size))
+            batch = macro_batch_at(self.source, step, per_step,
+                                   cfg.real_batch_size)
+            if cfg.uint8_transfer and batch.dtype == np.float32 \
+                    and cfg.dataset != "gaussian_mix":
+                # quantize on host (images are 8-bit data anyway): 4x
+                # less host->device traffic; de-quantized in-step
+                batch = np.round((batch + 1.0) * 127.5).astype(np.uint8)
+            batch = jnp.asarray(batch)
             step_fn = self._step_warm if warm else self._step_main
             if cfg.profile_steps and step == cfg.profile_start:
                 jax.profiler.start_trace(
