@@ -34,7 +34,7 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC: float | None = 2369.78  # round-1, TPU v5e, 2026-08-16
 
 WARMUP_STEPS = 3
-TIMED_STEPS = 10
+TIMED_STEPS = 100
 
 
 def main() -> None:
@@ -62,27 +62,35 @@ def main() -> None:
     per_step = cfg.dsteps + cfg.gsteps
 
     source = make_dataset(cfg)
-    it = macro_batches(source, per_step, cfg.batch_size)
-    batch = jnp.asarray(next(it))
+
+    def macro_u8(step_idx: int):
+        # stream fresh batches exactly like the trainer: uint8 transfer
+        # (4x less tunnel/PCIe traffic), de-quantized in-step
+        from smmdax.data.pipeline import macro_batch_at
+        b = macro_batch_at(source, step_idx, per_step, cfg.batch_size)
+        return jnp.asarray(np.round((b + 1.0) * 127.5).astype(np.uint8))
 
     state = create_state(cfg, jax.random.PRNGKey(cfg.random_seed))
     step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
 
-    # NOTE on timing discipline: on the tunneled axon platform,
-    # block_until_ready after a chain of N dispatches has been observed
-    # to return early; fetching a metric scalar to host each step forces
-    # a true round-trip, so per-step wall times are real device times
-    # (verified against per-step synchronized runs).
+    # Timing discipline (this platform dispatches asynchronously and
+    # block_until_ready on a long dispatch chain has been observed to
+    # return early): warmup steps fetch a metric scalar each (forces
+    # compile + a true round-trip); the timed section streams fresh
+    # batches with NO per-step sync — the real training workload — and
+    # completion is verified by materializing the final parameters to
+    # host (device_get cannot return before the chain has executed).
     t0 = time.time()
-    for _ in range(WARMUP_STEPS):
-        state, metrics = step(state, batch)
+    for i in range(WARMUP_STEPS):
+        state, metrics = step(state, macro_u8(i))
         float(metrics["d_loss_mmd2"])
     compile_and_warmup = time.time() - t0
 
     t0 = time.time()
-    for _ in range(TIMED_STEPS):
-        state, metrics = step(state, batch)
-        float(metrics["d_loss_mmd2"])
+    for i in range(WARMUP_STEPS, WARMUP_STEPS + TIMED_STEPS):
+        state, metrics = step(state, macro_u8(i))
+    _ = [float(jnp.sum(x)) for x in jax.tree.leaves(state.d_params)[:3]]
+    float(metrics["d_loss_mmd2"])
     elapsed = time.time() - t0
 
     images = TIMED_STEPS * per_step * cfg.batch_size
