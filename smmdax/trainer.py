@@ -128,23 +128,52 @@ class Trainer:
         except ValueError:           # not the main thread (tests)
             old_term = old_int = None
 
-        while step < cfg.max_iteration:
-            if self._preempted:
-                print(f"[smmdax] preemption signal: checkpointing at step {step}")
-                self.ckpt.save(step, jax.device_get(self.state), wait=True)
-                break
-            warm = self._dsteps_at(step) == cfg.start_dsteps and \
+        # Host-side prefetch: a producer thread assembles + quantizes
+        # the NEXT macro-batches while the device runs the current step
+        # (the reference's queue-runner role).  Batches stay a pure
+        # function of (seed, step), so determinism/resume are unchanged.
+        import queue
+        import threading
+
+        def _make_batch(s: int):
+            warm = self._dsteps_at(s) == cfg.start_dsteps and \
                 cfg.start_dsteps != cfg.dsteps
             per_step = (cfg.start_dsteps if warm else cfg.dsteps) + cfg.gsteps
-            # batches are a pure function of (seed, step): the pipeline
-            # resumes exactly with the checkpoint (stateless resumability)
-            batch = macro_batch_at(self.source, step, per_step,
+            batch = macro_batch_at(self.source, s, per_step,
                                    cfg.real_batch_size)
             if cfg.uint8_transfer and batch.dtype == np.float32 \
                     and cfg.dataset != "gaussian_mix":
                 # quantize on host (images are 8-bit data anyway): 4x
                 # less host->device traffic; de-quantized in-step
                 batch = np.round((batch + 1.0) * 127.5).astype(np.uint8)
+            return warm, batch
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def _producer(start: int):
+            s = start
+            while s < cfg.max_iteration and not stop.is_set():
+                item = _make_batch(s)
+                while not stop.is_set():
+                    try:
+                        q.put((s, item), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                s += 1
+
+        producer = threading.Thread(target=_producer, args=(step,),
+                                    daemon=True)
+        producer.start()
+
+        while step < cfg.max_iteration:
+            if self._preempted:
+                print(f"[smmdax] preemption signal: checkpointing at step {step}")
+                self.ckpt.save(step, jax.device_get(self.state), wait=True)
+                break
+            s, (warm, batch) = q.get()
+            assert s == step, (s, step)
             batch = jnp.asarray(batch)
             step_fn = self._step_warm if warm else self._step_main
             if cfg.profile_steps and step == cfg.profile_start:
@@ -155,7 +184,7 @@ class Trainer:
             if cfg.profile_steps and step == cfg.profile_start + cfg.profile_steps:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
-            timer.add(per_step * cfg.real_batch_size)   # same accounting as bench.py
+            timer.add(batch.shape[0] * cfg.real_batch_size)  # same accounting as bench.py
 
             if cfg.lr_decay_steps and step % cfg.lr_decay_steps == 0:
                 self.state = self.state.replace(
@@ -179,6 +208,7 @@ class Trainer:
                 scores = self._score(step)
                 self.writer.write(step, scores)
 
+        stop.set()
         if old_term is not None:
             signal.signal(signal.SIGTERM, old_term)
             signal.signal(signal.SIGINT, old_int)
