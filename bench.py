@@ -40,7 +40,6 @@ TIMED_STEPS = 100
 def main() -> None:
     from smmdax.configs import Config
     from smmdax.data import make_dataset
-    from smmdax.data.pipeline import macro_batches
     from smmdax.train import (create_state, enable_compilation_cache,
                               jit_train_step)
 

@@ -1,0 +1,42 @@
+"""Toy visualization: witness function closed form + frame rendering."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smmdax.configs import Config
+from smmdax.viz import plot_toy_frame, witness_fn
+
+
+def test_witness_sign_structure():
+    """With a linear critic on 1-D data, the witness must be positive
+    near the fake mode and negative near the real mode."""
+    cfg = Config(dataset="gaussian_mix", architecture="mlp",
+                 kernel="gaussian", rbf_sigmas=(0.25,))
+    w = jnp.ones((1, 4))
+    critic = lambda x: x.reshape(x.shape[0], -1) @ w
+    rng = np.random.default_rng(0)
+    real = rng.normal(-0.5, 0.05, (500, 1)).astype(np.float32)
+    fake = rng.normal(0.5, 0.05, (500, 1)).astype(np.float32)
+    grid = np.array([[-0.5], [0.5]], np.float32)
+    f_real = np.asarray(critic(jnp.asarray(real)))
+    f_fake = np.asarray(critic(jnp.asarray(fake)))
+    wv = witness_fn(cfg, critic, grid, f_real, f_fake)
+    assert wv[0] < 0 < wv[1]          # negative at real mode, positive at fake
+
+
+def test_plot_toy_frame_writes_png(tmp_path):
+    cfg = Config(dataset="gaussian_mix", architecture="mlp")
+    w = jnp.ones((1, 4)) * 0.5
+    critic = lambda x: x.reshape(x.shape[0], -1) @ w
+    rng = np.random.default_rng(1)
+    real = rng.normal(0, 0.3, (256, 1)).astype(np.float32)
+    fake = rng.normal(0.2, 0.3, (256, 1)).astype(np.float32)
+    path = plot_toy_frame(cfg, critic, real, fake, step=7,
+                          out_dir=str(tmp_path))
+    if path is None:
+        pytest.skip("matplotlib unavailable")
+    assert os.path.exists(path) and path.endswith("toy_0000007.png")
