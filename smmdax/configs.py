@@ -107,8 +107,10 @@ class Config:
 
     # --- parallelism (new capability; reference was single-GPU) ------------
     num_data_shards: int = 1             # data-parallel mesh size (1 = single chip)
+    dp_mode: str = "gspmd"               # gspmd | shard_map (explicit collectives)
     global_batch_mmd: bool = True        # MMD over the global batch (all-gather feats)
     use_ring_mmd: bool = False           # block-row ring estimator over ICI
+                                         # (effective in shard_map mode; implies it)
     use_pallas: bool = False             # Pallas fused kernel+MMD hot path
     compute_dtype: str = "float32"       # bfloat16 for MXU-heavy conv paths
     remat: bool = False                  # rematerialize critic forwards in
@@ -153,6 +155,11 @@ class Config:
         if self.scaling_grad_estimator not in GRAD_ESTIMATORS:
             raise ValueError(
                 f"scaling_grad_estimator must be one of {GRAD_ESTIMATORS}")
+        if self.dp_mode not in ("gspmd", "shard_map"):
+            raise ValueError("dp_mode must be gspmd or shard_map")
+        if self.use_ring_mmd and self.dp_mode == "gspmd" \
+                and self.num_data_shards > 1:
+            object.__setattr__(self, "dp_mode", "shard_map")
         # model implies regularizer wiring, mirroring the reference dispatch
         if self.model in ("smmd", "sn-smmd") and not self.with_scaling:
             object.__setattr__(self, "with_scaling", True)

@@ -54,9 +54,10 @@ class Trainer:
                                    also_stdout=cfg.log,
                                    tensorboard=cfg.tensorboard)
         # two compiled programs: warm-up alternation and main alternation
-        self._step_main = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, self.mesh)
+        self._step_main = jit_train_step(cfg, cfg.dsteps, cfg.gsteps,
+                                         self.mesh, mode=cfg.dp_mode)
         self._step_warm = (jit_train_step(cfg, cfg.start_dsteps, cfg.gsteps,
-                                          self.mesh)
+                                          self.mesh, mode=cfg.dp_mode)
                            if cfg.start_dsteps != cfg.dsteps else self._step_main)
         self._extractor = None
         self._real_feats: Optional[np.ndarray] = None
