@@ -179,6 +179,13 @@ def witness_gradient_penalty(cfg: Config, critic: Critic,
     b = min(real.shape[0], fake.shape[0])
     eps = jax.random.uniform(rng, (b,) + (1,) * (real.ndim - 1))
     xhat = eps * real[:b] + (1.0 - eps) * fake[:b]
+    if cfg.gp_detach_sets:
+        # perf approximation (see Config.gp_detach_sets): the penalty's
+        # second-order term w.r.t. critic params then flows only through
+        # phi(xhat), like WGAN-GP — 4x cheaper, slightly different
+        # regularizer
+        f_real = jax.lax.stop_gradient(f_real)
+        f_fake = jax.lax.stop_gradient(f_fake)
 
     def witness(x: Array) -> Array:
         fx = critic(x)                                   # (b, dof)

@@ -110,3 +110,31 @@ def test_real_batch_differs_from_fake_batch():
                  gf_dim=8, df_dim=8, dof_dim=4, z_dim=8, dsteps=1, gsteps=1)
     state, m = _run_two_steps(cfg)
     assert np.isfinite(m["d_loss_mmd2"])
+
+
+def test_gp_detach_sets_close_and_fast_path_works():
+    """The detached-sets GP approximation stays close in value and the
+    config flag produces finite grads."""
+    from smmdax.losses import witness_gradient_penalty
+
+    cfg_full = Config(model="mmd", gradient_penalty=1.0)
+    cfg_det = cfg_full.replace(gp_detach_sets=True)
+    k = jax.random.PRNGKey(0)
+    real = jax.random.normal(k, (16, 4, 4, 1))
+    fake = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 4, 1)) + 0.5
+    w = jax.random.normal(jax.random.PRNGKey(2), (16, 4)) * 2.0
+
+    def gp_of_w(cfg):
+        def f(w):
+            critic = lambda x: x.reshape(x.shape[0], -1) @ w
+            fr, ff = critic(real), critic(fake)
+            return witness_gradient_penalty(cfg, critic, real, fake, fr, ff,
+                                            jax.random.PRNGKey(3))
+        return f
+
+    v_full = float(gp_of_w(cfg_full)(w))
+    v_det = float(gp_of_w(cfg_det)(w))
+    assert v_full == pytest.approx(v_det, rel=1e-5)   # same VALUE (only
+    # the gradient differs: second-order paths through the sets are cut)
+    g = jax.grad(gp_of_w(cfg_det))(w)
+    assert np.isfinite(np.asarray(g)).all()
