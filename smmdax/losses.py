@@ -83,7 +83,8 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
     if axis_name is not None and cfg.use_ring_mmd and cfg.kernel in ("gaussian", "rq"):
         from smmdax.parallel.ring import ring_mmd2
         return ring_mmd2(f_fake, f_real, axis_name, cfg.kernel,
-                         rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+                         rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
+                         use_pallas=cfg.use_pallas)
     f_fake = _gather(f_fake, axis_name)
     f_real = _gather(f_real, axis_name)
     if cfg.use_pallas and cfg.kernel in ("gaussian", "rq"):

@@ -242,3 +242,31 @@ def fused_mmd2(x: Array, y: Array, kernel: str = "rq",
                 - 2.0 * s_xy / (m * n))
     return (s_xx / (m * (m - 1.0)) + s_yy / (n * (n - 1.0))
             - 2.0 * s_xy / (m * n))
+
+
+def make_pair_sum(kernel: str, params: Sequence[float], exclude_diag: bool):
+    """Differentiable fused S(a, b) = sum_{ij} mask * k(d2(a_i, b_j)).
+
+    The building block the ring estimator tiles over ICI: each shard
+    computes its row-block pair sums through this kernel (O(tile) VMEM)
+    instead of materializing jnp Gram blocks.  The VJP reuses the
+    backward tiling; when a and b are the same tensor the two argument
+    cotangents add up to the correct factor-4 pair gradient.
+    """
+    params = tuple(float(p) for p in params)
+
+    @jax.custom_vjp
+    def pair_sum(a, b):
+        return _pair_sum(a, b, kernel, params, exclude_diag)
+
+    def fwd(a, b):
+        return pair_sum(a, b), (a, b)
+
+    def bwd(res, c):
+        a, b = res
+        da = (2.0 * c) * _pair_sum_grad_a(a, b, kernel, params, exclude_diag)
+        db = (2.0 * c) * _pair_sum_grad_a(b, a, kernel, params, exclude_diag)
+        return da, db
+
+    pair_sum.defvjp(fwd, bwd)
+    return pair_sum

@@ -29,7 +29,11 @@ Array = jnp.ndarray
 
 
 def _block_sum(name: str, a: Array, b: Array, exclude_diag: bool,
-               rbf_sigmas, rq_alphas) -> Array:
+               rbf_sigmas, rq_alphas, use_pallas: bool = False) -> Array:
+    if use_pallas and name in ("gaussian", "rq"):
+        from smmdax.pallas import make_pair_sum
+        params = rbf_sigmas if name == "gaussian" else rq_alphas
+        return make_pair_sum(name, params, exclude_diag)(a, b)
     k = kernel_cross(name, a, b, rbf_sigmas=rbf_sigmas, rq_alphas=rq_alphas)
     s = jnp.sum(k)
     if exclude_diag:
@@ -41,6 +45,7 @@ def ring_mmd_sums(x_loc: Array, y_loc: Array, axis_name: str,
                   kernel: str = "rq",
                   rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
                   rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
+                  use_pallas: bool = False,
                   ) -> MMDSums:
     """Global MMD sufficient statistics from per-shard feature blocks.
 
@@ -52,22 +57,17 @@ def ring_mmd_sums(x_loc: Array, y_loc: Array, axis_name: str,
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
     def body(t, carry):
+        # t is a Python int (unrolled loop): exclude_diag folds to a
+        # compile-time constant, so the own-block (t == 0) pair sum can
+        # use the fused kernel's masked diagonal exclusion directly
         x_buf, y_buf, sxx, syy, sxy = carry
         own = t == 0
-        # own block: strip the global diagonal (local trace IS the
-        # global-diagonal piece of this row-block)
-        sxx = sxx + _block_sum(kernel, x_loc, x_buf, False,
-                               rbf_sigmas, rq_alphas) \
-            - jnp.where(own, jnp.trace(kernel_cross(
-                kernel, x_loc, x_buf, rbf_sigmas=rbf_sigmas,
-                rq_alphas=rq_alphas)), 0.0)
-        syy = syy + _block_sum(kernel, y_loc, y_buf, False,
-                               rbf_sigmas, rq_alphas) \
-            - jnp.where(own, jnp.trace(kernel_cross(
-                kernel, y_loc, y_buf, rbf_sigmas=rbf_sigmas,
-                rq_alphas=rq_alphas)), 0.0)
+        sxx = sxx + _block_sum(kernel, x_loc, x_buf, own,
+                               rbf_sigmas, rq_alphas, use_pallas)
+        syy = syy + _block_sum(kernel, y_loc, y_buf, own,
+                               rbf_sigmas, rq_alphas, use_pallas)
         sxy = sxy + _block_sum(kernel, x_loc, y_buf, False,
-                               rbf_sigmas, rq_alphas)
+                               rbf_sigmas, rq_alphas, use_pallas)
         x_buf = jax.lax.ppermute(x_buf, axis_name, perm)
         y_buf = jax.lax.ppermute(y_buf, axis_name, perm)
         return x_buf, y_buf, sxx, syy, sxy
@@ -92,12 +92,12 @@ def ring_mmd2(x_loc: Array, y_loc: Array, axis_name: str,
               kernel: str = "rq",
               rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
               rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
-              biased: bool = False) -> Array:
+              biased: bool = False, use_pallas: bool = False) -> Array:
     """Unbiased global-batch MMD^2 from per-shard features (constant-
     diagonal kernels; for ``biased`` the diagonal values are added
     back from the local traces)."""
     sums = ring_mmd_sums(x_loc, y_loc, axis_name, kernel,
-                         rbf_sigmas, rq_alphas)
+                         rbf_sigmas, rq_alphas, use_pallas=use_pallas)
     if biased:
         diag_xx = jax.lax.psum(jnp.trace(kernel_cross(
             kernel, x_loc, x_loc, rbf_sigmas=rbf_sigmas,

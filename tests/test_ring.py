@@ -71,3 +71,37 @@ def test_ring_gradients_match_global():
                                rtol=5e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gy_r), np.asarray(gy_g),
                                rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "rq"])
+def test_ring_with_pallas_blocks_matches_global(kernel):
+    """Ring + fused Pallas pair-sums (interpret mode) == dense global,
+    in value and gradient."""
+    import smmdax.pallas.mmd_kernel as pk
+    old = pk._INTERPRET
+    pk._INTERPRET = True
+    try:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        x = jax.random.normal(k1, (32, 8)) * 0.5
+        y = jax.random.normal(k2, (32, 8)) * 0.5 + 0.3
+        mesh = _mesh()
+        ring = shard_map(
+            functools.partial(ring_mmd2, axis_name="data", kernel=kernel,
+                              use_pallas=True),
+            mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
+            check_rep=False)
+        got = float(jax.jit(ring)(x, y))
+        want = float(mmd2(kernel_matrices(kernel, x, y)))
+        assert got == pytest.approx(want, rel=2e-4, abs=1e-6)
+
+        gx_r, gy_r = jax.jit(jax.grad(lambda a, b: ring(a, b),
+                                      argnums=(0, 1)))(x, y)
+        gx_g, gy_g = jax.grad(
+            lambda a, b: mmd2(kernel_matrices(kernel, a, b)),
+            argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_g),
+                                   rtol=5e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gy_r), np.asarray(gy_g),
+                                   rtol=5e-4, atol=1e-6)
+    finally:
+        pk._INTERPRET = old
