@@ -73,6 +73,21 @@ class ArraySource:
             return gather_normalize(self.data, idx, flips)
         return self.data[idx]
 
+    def batch_u8(self, n: int, key: Optional[int] = None) -> Array:
+        """Raw uint8 batch for on-device normalization (uint8_transfer);
+        falls back to quantizing float data."""
+        rng = self._rng if key is None else np.random.default_rng(
+            (self.seed, key))
+        idx = rng.integers(0, len(self.data), size=n)
+        if self.data.dtype == np.uint8:
+            out = self.data[idx]
+            if self.flip:
+                m = rng.integers(0, 2, size=n).astype(bool)
+                out = out.copy()
+                out[m] = out[m][:, :, ::-1, :]
+            return out
+        return np.round((self.data[idx] + 1.0) * 127.5).astype(np.uint8)
+
 
 def _load_cifar10(data_dir: str) -> Optional[Array]:
     """CIFAR-10 python pickles (data_batch_1..5) -> (N,32,32,3) in [-1,1]."""

@@ -20,6 +20,7 @@ from __future__ import annotations
 import io
 import os
 import struct
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -70,6 +71,10 @@ class TFRecordSource:
         if not self._index:
             raise ValueError(f"no records found under {root}")
         self._handles = [open(p, "rb") for p in self.files]
+        # the trainer reads batches from a prefetch thread while scoring
+        # reads from the main thread: seek+read on shared handles must
+        # be serialized
+        self._lock = threading.Lock()
 
     @property
     def sample_shape(self) -> Tuple[int, ...]:
@@ -127,7 +132,9 @@ class TFRecordSource:
         for i, rid in enumerate(ids):
             fi, off, ln = self._index[rid]
             fh = self._handles[fi]
-            fh.seek(off)
-            out[i] = (self._decode(fh.read(ln)).astype(np.float32)
+            with self._lock:
+                fh.seek(off)
+                payload = fh.read(ln)
+            out[i] = (self._decode(payload).astype(np.float32)
                       - 127.5) / 127.5
         return out

@@ -116,9 +116,16 @@ class InceptionFeatures:
         self._torch = torch
         self.batch = batch
 
+    # torchvision's ImageNet-trained inception expects mean/std-
+    # normalized [0,1] input, NOT our [-1,1] training range
+    _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    _STD = np.array([0.229, 0.224, 0.225], np.float32)
+
     def __call__(self, images: Array) -> Array:
         torch = self._torch
         images = np.asarray(images, np.float32)
+        images = (images + 1.0) / 2.0                      # -> [0, 1]
+        images = (images - self._MEAN) / self._STD
         outs = []
         with torch.no_grad():
             for i in range(0, len(images), self.batch):

@@ -80,6 +80,15 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
     * otherwise: dense jnp Gram blocks (the oracle path).
     All three are numerically the same estimator (property-tested).
     """
+    if axis_name is not None and not cfg.global_batch_mmd:
+        # per-shard local-batch estimator, averaged across shards (the
+        # cheap non-global variant; the [SPEC] default is global)
+        if cfg.use_pallas and cfg.kernel in ("gaussian", "rq"):
+            from smmdax.pallas import fused_mmd2
+            local = fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg))
+        else:
+            local = mmd2(_blocks(cfg, f_fake, f_real))
+        return jax.lax.pmean(local, axis_name)
     if axis_name is not None and cfg.use_ring_mmd and cfg.kernel in ("gaussian", "rq"):
         from smmdax.parallel.ring import ring_mmd2
         return ring_mmd2(f_fake, f_real, axis_name, cfg.kernel,
@@ -302,8 +311,6 @@ def generator_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
     loss = mmd2_val
     sigma = jnp.float32(1.0)
     if cfg.with_scaling and scale_g_loss:
-        if rng is None:
-            rng = jax.random.PRNGKey(0)   # hutchinson only; others ignore it
         sigma = jax.lax.stop_gradient(
             _pmean(sobolev_scale(cfg, critic, real, rng), axis_name))
         loss = loss / sigma

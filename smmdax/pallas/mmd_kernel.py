@@ -108,6 +108,8 @@ def _pair_sum(a: Array, b: Array, kernel: str, params, exclude_diag: bool,
               tm: int = 256, tn: int = 512) -> Array:
     m, d = a.shape
     n, _ = b.shape
+    tm = min(tm, _round_up(m, 8))        # don't pad small batches up to
+    tn = min(tn, _round_up(n, 128))      # full tiles (30x waste at B=64)
     mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
     a = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
     b = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
@@ -170,6 +172,8 @@ def _pair_sum_grad_a(a: Array, b: Array, kernel: str, params,
     factor: returns sum_j g_ij (a_i - b_j), shape of a."""
     m, d = a.shape
     n, _ = b.shape
+    tm = min(tm, _round_up(m, 8))
+    tn = min(tn, _round_up(n, 128))
     mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
     ap = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
     bp = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))

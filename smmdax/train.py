@@ -184,7 +184,8 @@ def _d_update(cfg: Config, gen, disc, adam, state: TrainState,
 def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
               real: Array, rng: jax.Array,
               axis_name=None) -> Tuple[TrainState, LossAux]:
-    z = jax.random.uniform(_shard_rng(rng, axis_name),
+    rng_z, rng_scale = jax.random.split(_shard_rng(rng, axis_name))
+    z = jax.random.uniform(rng_z,
                            (_fake_count(cfg, axis_name), cfg.z_dim),
                            minval=-1.0, maxval=1.0)
     critic = _critic_fn(disc, state.d_params, state.d_spectral,
@@ -194,7 +195,7 @@ def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
         fake, new_stats = _generate(gen, cfg, g_params, state.g_batch_stats,
                                     z, update_stats=True)
         loss, aux = generator_loss(cfg, critic, real, fake,
-                                   axis_name=axis_name)
+                                   axis_name=axis_name, rng=rng_scale)
         return loss, (aux, new_stats)
 
     grads, (aux, new_stats) = jax.grad(loss_fn, has_aux=True)(state.g_params)
@@ -307,6 +308,11 @@ def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
         return jax.jit(step, donate_argnums=(0,))
     if mode == "shard_map":
         from jax.experimental.shard_map import shard_map
+        n = len(mesh.devices.flat)
+        if cfg.batch_size % n or cfg.real_batch_size % n:
+            raise ValueError(
+                f"shard_map mode needs batch sizes divisible by the mesh "
+                f"({cfg.batch_size}/{cfg.real_batch_size} vs {n} shards)")
         step = build_train_step(cfg, dsteps, gsteps, axis_name="data")
         smapped = shard_map(step, mesh=mesh,
                             in_specs=(P(), P(None, "data")),

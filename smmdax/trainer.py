@@ -75,13 +75,32 @@ class Trainer:
         cfg = self.cfg
         if self._extractor is None:
             self._extractor = get_feature_extractor(cfg.data_dir)
-        n = min(cfg.no_of_samples, 5000 if cfg.dataset == "synthetic" else
-                cfg.no_of_samples)
+        # synthetic self-tests cap at 5000 samples; real datasets use the
+        # configured count (the reference's 25k default)
+        n = (min(cfg.no_of_samples, 5000) if cfg.dataset == "synthetic"
+             else cfg.no_of_samples)
         rng = jax.random.PRNGKey(cfg.random_seed + step)
         fake = np.asarray(sample(cfg, self.state, rng, n))
         fake_feats = self._extractor(fake)
         if self._real_feats is None:
-            self._real_feats = self._extractor(self.source.batch(n))
+            # fixed key: the scoring reference set is identical across
+            # resumes (exact-resume extends to scheduler decisions)
+            self._real_feats = self._extractor(
+                self.source.batch(n, key=2**31 + 1))
+        if (cfg.MMD_lr_scheduler and self._best_feats is None
+                and int(self.state.step) > 0):
+            # resumed run: rebuild the scheduler's best-snapshot state
+            # from the persisted best checkpoint instead of clobbering it
+            best_state = self.ckpt.restore_best(self.state)
+            if best_state is not None:
+                best = np.asarray(sample(cfg, best_state,
+                                         jax.random.PRNGKey(cfg.random_seed),
+                                         n))
+                self._best_feats = self._extractor(best)
+                self._best_kid, _ = kid_from_features(
+                    self._real_feats, self._best_feats,
+                    subset_size=min(cfg.score_subset_size, n),
+                    n_subsets=cfg.score_subsets)
         fid = fid_from_features(self._real_feats, fake_feats)
         kid, kid_std = kid_from_features(
             self._real_feats, fake_feats,
@@ -140,13 +159,21 @@ class Trainer:
             warm = self._dsteps_at(s) == cfg.start_dsteps and \
                 cfg.start_dsteps != cfg.dsteps
             per_step = (cfg.start_dsteps if warm else cfg.dsteps) + cfg.gsteps
-            batch = macro_batch_at(self.source, s, per_step,
-                                   cfg.real_batch_size)
-            if cfg.uint8_transfer and batch.dtype == np.float32 \
-                    and cfg.dataset != "gaussian_mix":
-                # quantize on host (images are 8-bit data anyway): 4x
-                # less host->device traffic; de-quantized in-step
-                batch = np.round((batch + 1.0) * 127.5).astype(np.uint8)
+            n = per_step * cfg.real_batch_size
+            if cfg.uint8_transfer and hasattr(self.source, "batch_u8"):
+                # raw uint8 straight from the dataset: skips both the
+                # normalize-to-float and the re-quantize pass
+                flat = self.source.batch_u8(n, key=s)
+                batch = flat.reshape((per_step, cfg.real_batch_size)
+                                     + flat.shape[1:])
+            else:
+                batch = macro_batch_at(self.source, s, per_step,
+                                       cfg.real_batch_size)
+                if cfg.uint8_transfer and batch.dtype == np.float32 \
+                        and cfg.dataset != "gaussian_mix":
+                    # quantize on host (images are 8-bit data anyway): 4x
+                    # less host->device traffic; de-quantized in-step
+                    batch = np.round((batch + 1.0) * 127.5).astype(np.uint8)
             return warm, batch
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
@@ -168,6 +195,18 @@ class Trainer:
                                     daemon=True)
         producer.start()
 
+        try:
+            self._train_loop(cfg, timer, step, q)
+        finally:
+            stop.set()
+            if old_term is not None:
+                signal.signal(signal.SIGTERM, old_term)
+                signal.signal(signal.SIGINT, old_int)
+        self.ckpt.save(int(self.state.step), jax.device_get(self.state),
+                       wait=True)
+        return self.state
+
+    def _train_loop(self, cfg, timer, step, q) -> None:
         while step < cfg.max_iteration:
             if self._preempted:
                 print(f"[smmdax] preemption signal: checkpointing at step {step}")
@@ -208,13 +247,6 @@ class Trainer:
             if cfg.compute_scores and step % cfg.score_every == 0:
                 scores = self._score(step)
                 self.writer.write(step, scores)
-
-        stop.set()
-        if old_term is not None:
-            signal.signal(signal.SIGTERM, old_term)
-            signal.signal(signal.SIGINT, old_int)
-        self.ckpt.save(step, jax.device_get(self.state), wait=True)
-        return self.state
 
     def _save_samples(self, step: int) -> None:
         cfg = self.cfg
