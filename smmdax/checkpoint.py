@@ -36,8 +36,15 @@ class CheckpointManager:
         if wait:
             self._mgr.wait_until_finished()
 
-    def save_best(self, state: TrainState) -> None:
-        """Overwrite the 'best so far' checkpoint (KID scheduler)."""
+    def save_best(self, state: TrainState,
+                  meta: Optional[dict] = None) -> None:
+        """Overwrite the 'best so far' checkpoint (KID scheduler).
+
+        ``meta`` (e.g. ``{"best_kid": ..., "best_step": ...}``) is
+        persisted alongside so a resumed run reconstructs the
+        scheduler's comparison state exactly — including the RNG key
+        the best snapshot was scored with (keyed by step).
+        """
         ckptr = ocp.StandardCheckpointer()
         path = os.path.join(self._best_dir, "state")
         if os.path.exists(path):
@@ -45,6 +52,20 @@ class CheckpointManager:
             shutil.rmtree(path)
         ckptr.save(path, state)
         ckptr.wait_until_finished()
+        if meta is not None:
+            import json
+            tmp = os.path.join(self._best_dir, "meta.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(self._best_dir, "meta.json"))
+
+    def best_meta(self) -> Optional[dict]:
+        path = os.path.join(self._best_dir, "meta.json")
+        if not os.path.exists(path):
+            return None
+        import json
+        with open(path) as f:
+            return json.load(f)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -102,6 +102,10 @@ class Config:
     MMD_lr_scheduler: bool = True
     decay_rate: float = 0.8
     lr_decay_steps: int = 0              # optional fixed exponential decay interval
+    reload_best_on_decay: bool = False   # on a failed three-sample test, also
+                                         # reload the best-so-far checkpoint's
+                                         # model state (reference's alternative
+                                         # scheduler arm, SURVEY.md §2.11 [R-MED])
 
     # --- eval / scoring -----------------------------------------------------
     compute_scores: bool = False

@@ -329,15 +329,19 @@ def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
 
 
 _SAMPLER_CACHE: Dict[Config, Callable] = {}
+_SAMPLER_CACHE_MAX = 8    # bounded: a long sweep over many configs must
+                          # not accumulate compiled executables forever
 
 
 def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
     """Generate n images (eval mode: running BN averages).
 
-    The jitted sampler is memoized per config — a fresh jit per call
-    would retrace and recompile at every scoring interval.
+    The jitted sampler is memoized per config (LRU, bounded) — a fresh
+    jit per call would retrace and recompile at every scoring interval.
     """
-    gen_batch = _SAMPLER_CACHE.get(cfg)
+    gen_batch = _SAMPLER_CACHE.pop(cfg, None)
+    if gen_batch is not None:
+        _SAMPLER_CACHE[cfg] = gen_batch          # re-insert: most recent
     if gen_batch is None:
         gen, _ = build_models(cfg)
 
@@ -347,6 +351,8 @@ def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
                               "batch_stats": g_batch_stats}, z, train=False)
 
         _SAMPLER_CACHE[cfg] = gen_batch
+        while len(_SAMPLER_CACHE) > _SAMPLER_CACHE_MAX:
+            _SAMPLER_CACHE.pop(next(iter(_SAMPLER_CACHE)))
 
     outs = []
     bs = cfg.batch_size

@@ -90,17 +90,20 @@ class Trainer:
         if (cfg.MMD_lr_scheduler and self._best_feats is None
                 and int(self.state.step) > 0):
             # resumed run: rebuild the scheduler's best-snapshot state
-            # from the persisted best checkpoint instead of clobbering it
+            # from the persisted best checkpoint + sidecar meta.  The
+            # best feats are re-derived with the SAME step-keyed RNG the
+            # original scoring pass used, and best_kid comes from the
+            # sidecar verbatim, so a resumed run makes bit-identical
+            # scheduler decisions to an uninterrupted one.
             best_state = self.ckpt.restore_best(self.state)
-            if best_state is not None:
-                best = np.asarray(sample(cfg, best_state,
-                                         jax.random.PRNGKey(cfg.random_seed),
-                                         n))
+            meta = self.ckpt.best_meta()
+            if best_state is not None and meta is not None:
+                best = np.asarray(sample(
+                    cfg, best_state,
+                    jax.random.PRNGKey(cfg.random_seed
+                                       + int(meta["best_step"])), n))
                 self._best_feats = self._extractor(best)
-                self._best_kid, _ = kid_from_features(
-                    self._real_feats, self._best_feats,
-                    subset_size=min(cfg.score_subset_size, n),
-                    n_subsets=cfg.score_subsets)
+                self._best_kid = float(meta["best_kid"])
         fid = fid_from_features(self._real_feats, fake_feats)
         kid, kid_std = kid_from_features(
             self._real_feats, fake_feats,
@@ -111,7 +114,8 @@ class Trainer:
         if cfg.MMD_lr_scheduler:
             if self._best_feats is None or kid < self._best_kid:
                 self._best_feats, self._best_kid = fake_feats, kid
-                self.ckpt.save_best(self.state)
+                self.ckpt.save_best(self.state, meta={
+                    "best_kid": float(kid), "best_step": int(step)})
                 out["lr_decayed"] = 0.0
             else:
                 # three-sample relative similarity test vs best snapshot
@@ -119,9 +123,21 @@ class Trainer:
                     self._real_feats, fake_feats, self._best_feats,
                     subset_size=min(cfg.score_subset_size, n))
                 if win <= 0.5:   # no improvement -> decay LR
+                    new_lr_d = self.state.lr_d * cfg.decay_rate
+                    new_lr_g = self.state.lr_g * cfg.decay_rate
+                    if cfg.reload_best_on_decay:
+                        # the reference's other scheduler arm: rewind
+                        # the model to the best snapshot (keeping the
+                        # current step count / RNG so the data stream
+                        # and schedule are unaffected) and continue
+                        # with the decayed LR
+                        best_state = self.ckpt.restore_best(self.state)
+                        if best_state is not None:
+                            self.state = best_state.replace(
+                                step=self.state.step, rng=self.state.rng)
+                            out["reloaded_best"] = 1.0
                     self.state = self.state.replace(
-                        lr_d=self.state.lr_d * cfg.decay_rate,
-                        lr_g=self.state.lr_g * cfg.decay_rate)
+                        lr_d=new_lr_d, lr_g=new_lr_g)
                     out["lr_decayed"] = 1.0
                 else:
                     out["lr_decayed"] = 0.0

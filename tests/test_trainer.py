@@ -100,3 +100,68 @@ def test_preemption_checkpoints_and_resumes(tmp_path):
 
     t2 = Trainer(cfg)
     assert int(t2.state.step) == stopped_at   # resumed from the preempt ckpt
+
+
+def test_scheduler_resume_parity(tmp_path):
+    """Interrupted == uninterrupted SCHEDULER decisions (round-2: the
+    best-snapshot state is persisted via sidecar meta and rebuilt with
+    the original step-keyed RNG, so resumed runs decay identically)."""
+    kw = dict(dataset="synthetic", architecture="dcgan", output_size=32,
+              gf_dim=8, df_dim=8, compute_scores=True, score_every=1,
+              no_of_samples=64, score_subset_size=64, score_subsets=4,
+              MMD_lr_scheduler=True)
+
+    cfg_full = _cfg(str(tmp_path) + "/full", max_iteration=4,
+                    checkpoint_every=100, **kw)
+    t_full = Trainer(cfg_full)
+    full = t_full.train()
+
+    cfg_half = _cfg(str(tmp_path) + "/half", max_iteration=2,
+                    checkpoint_every=2, **kw)
+    Trainer(cfg_half).train()
+    t_res = Trainer(cfg_half.replace(max_iteration=4))
+    resumed = t_res.train()
+
+    # identical LR trajectory endpoint and best-snapshot bookkeeping
+    np.testing.assert_allclose(np.asarray(full.lr_d),
+                               np.asarray(resumed.lr_d), rtol=0)
+    np.testing.assert_allclose(np.asarray(full.lr_g),
+                               np.asarray(resumed.lr_g), rtol=0)
+    assert t_res._best_kid == pytest.approx(t_full._best_kid, rel=1e-6)
+    assert t_full._best_feats is not None and t_res._best_feats is not None
+    np.testing.assert_allclose(t_full._best_feats, t_res._best_feats,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_reload_best_on_decay(tmp_path, monkeypatch):
+    """The scheduler's second arm: a failed three-sample test rewinds
+    the model to the best snapshot AND decays the LR."""
+    cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
+               output_size=32, gf_dim=8, df_dim=8, max_iteration=2,
+               compute_scores=True, score_every=1, no_of_samples=64,
+               score_subset_size=64, score_subsets=4,
+               MMD_lr_scheduler=True, reload_best_on_decay=True,
+               checkpoint_every=0)
+    t = Trainer(cfg)
+    t.train()                                 # saves a best snapshot
+    best = t.ckpt.restore_best(t.state)
+    assert best is not None
+    # params have moved past the best snapshot during training
+    lr_before = float(t.state.lr_d)
+    step_before = int(t.state.step)
+
+    # force the decay arm: current KID is "not better" and the
+    # three-sample test reports no improvement
+    t._best_kid = -1.0
+    import smmdax.trainer as trainer_mod
+    monkeypatch.setattr(trainer_mod, "relative_similarity_test",
+                        lambda *a, **k: 0.0)
+    out = t._score(step_before)
+
+    assert out["lr_decayed"] == 1.0
+    assert out.get("reloaded_best") == 1.0
+    assert float(t.state.lr_d) == pytest.approx(lr_before * cfg.decay_rate)
+    assert int(t.state.step) == step_before       # step/RNG not rewound
+    for a, b in zip(jax.tree.leaves(t.state.g_params),
+                    jax.tree.leaves(best.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
