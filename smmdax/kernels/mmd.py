@@ -113,14 +113,35 @@ def mmd2_from_blocks(k_xx: Array, k_xy: Array, k_yy: Array,
     return mmd2(KernelBlocks(k_xx, k_xy, k_yy, k_diag), biased=biased)
 
 
-def mmd2_and_variance(blocks: KernelBlocks,
-                      biased: bool = False) -> Tuple[Array, Array]:
-    """MMD^2 and the Sutherland-et-al. variance estimate of MMD^2_u.
+class VarStats(NamedTuple):
+    """Sufficient statistics for the Sutherland variance estimator.
 
-    Requires m == n (the estimator is defined for equal sample sizes;
-    the reference t-ratio path has the same restriction).
-    Formula: ICLR 2017 arXiv:1611.04488, appendix A, eq. (5).
+    Everything here is a sum over (blocks of) the global Gram matrices —
+    scalar dot-products of row-sum vectors included — so a sharded
+    computation produces them with per-shard partial sums + one psum
+    (the ring t-ratio path, smmdax.parallel.ring).  "kt_*" quantities
+    exclude the diagonal.
     """
+
+    m: Array               # sample count (estimator requires m == n)
+    kt_xx_sum: Array       # sum of off-diagonal K_XX
+    kt_yy_sum: Array
+    k_xy_sum: Array        # full sum of K_XY
+    kt_xx_2_sum: Array     # sum of squared off-diagonal entries
+    kt_yy_2_sum: Array
+    k_xy_2_sum: Array
+    dot_xx_rows: Array     # <row_sums(K~_XX), row_sums(K~_XX)>
+    dot_yy_rows: Array
+    dot_xy_rows: Array     # <row_sums(K_XY), row_sums(K_XY)>  (per-x)
+    dot_xy_cols: Array     # <col_sums(K_XY), col_sums(K_XY)>  (per-y)
+    dot_xx_xy: Array       # <row_sums(K~_XX), row_sums(K_XY)>
+    dot_yy_xy: Array       # <row_sums(K~_YY), col_sums(K_XY)>
+    sum_diag_x: Array      # diagonal sums (biased estimator only)
+    sum_diag_y: Array
+
+
+def var_stats_from_blocks(blocks: KernelBlocks) -> VarStats:
+    """Dense-Gram path: reduce full blocks to the sufficient stats."""
     k_xx, k_xy, k_yy, k_diag = blocks
     m = k_xx.shape[0]
     if k_yy.shape[0] != m:
@@ -144,39 +165,65 @@ def mmd2_and_variance(blocks: KernelBlocks,
     k_xy_sums_0 = jnp.sum(k_xy, axis=0)              # over x index -> per-y
     k_xy_sums_1 = jnp.sum(k_xy, axis=1)              # over y index -> per-x
 
-    kt_xx_sum = jnp.sum(kt_xx_sums)
-    kt_yy_sum = jnp.sum(kt_yy_sums)
-    k_xy_sum = jnp.sum(k_xy_sums_0)
+    return VarStats(
+        m=mf,
+        kt_xx_sum=jnp.sum(kt_xx_sums),
+        kt_yy_sum=jnp.sum(kt_yy_sums),
+        k_xy_sum=jnp.sum(k_xy_sums_0),
+        kt_xx_2_sum=jnp.sum(k_xx * k_xx) - sum_diag2_x,
+        kt_yy_2_sum=jnp.sum(k_yy * k_yy) - sum_diag2_y,
+        k_xy_2_sum=jnp.sum(k_xy * k_xy),
+        dot_xx_rows=jnp.dot(kt_xx_sums, kt_xx_sums),
+        dot_yy_rows=jnp.dot(kt_yy_sums, kt_yy_sums),
+        dot_xy_rows=jnp.dot(k_xy_sums_1, k_xy_sums_1),
+        dot_xy_cols=jnp.dot(k_xy_sums_0, k_xy_sums_0),
+        dot_xx_xy=jnp.dot(kt_xx_sums, k_xy_sums_1),
+        dot_yy_xy=jnp.dot(kt_yy_sums, k_xy_sums_0),
+        sum_diag_x=jnp.asarray(sum_diag_x, jnp.float32),
+        sum_diag_y=jnp.asarray(sum_diag_y, jnp.float32),
+    )
 
-    kt_xx_2_sum = jnp.sum(k_xx * k_xx) - sum_diag2_x
-    kt_yy_2_sum = jnp.sum(k_yy * k_yy) - sum_diag2_y
-    k_xy_2_sum = jnp.sum(k_xy * k_xy)
 
+def mmd2_and_variance_from_stats(s: VarStats,
+                                 biased: bool = False) -> Tuple[Array, Array]:
+    """MMD^2 + variance from sufficient stats (shared by the dense and
+    ring paths).  Formula: ICLR 2017 arXiv:1611.04488, appendix A."""
+    mf = s.m
     if biased:
-        mmd2_val = ((kt_xx_sum + sum_diag_x) / (mf * mf)
-                    + (kt_yy_sum + sum_diag_y) / (mf * mf)
-                    - 2.0 * k_xy_sum / (mf * mf))
+        mmd2_val = ((s.kt_xx_sum + s.sum_diag_x) / (mf * mf)
+                    + (s.kt_yy_sum + s.sum_diag_y) / (mf * mf)
+                    - 2.0 * s.k_xy_sum / (mf * mf))
     else:
-        mmd2_val = (kt_xx_sum / (mf * (mf - 1.0))
-                    + kt_yy_sum / (mf * (mf - 1.0))
-                    - 2.0 * k_xy_sum / (mf * mf))
+        mmd2_val = (s.kt_xx_sum / (mf * (mf - 1.0))
+                    + s.kt_yy_sum / (mf * (mf - 1.0))
+                    - 2.0 * s.k_xy_sum / (mf * mf))
 
     var_est = (
         2.0 / (mf**2 * (mf - 1.0)**2)
-        * (2.0 * jnp.dot(kt_xx_sums, kt_xx_sums) - kt_xx_2_sum
-           + 2.0 * jnp.dot(kt_yy_sums, kt_yy_sums) - kt_yy_2_sum)
+        * (2.0 * s.dot_xx_rows - s.kt_xx_2_sum
+           + 2.0 * s.dot_yy_rows - s.kt_yy_2_sum)
         - (4.0 * mf - 6.0) / (mf**3 * (mf - 1.0)**3)
-        * (kt_xx_sum**2 + kt_yy_sum**2)
+        * (s.kt_xx_sum**2 + s.kt_yy_sum**2)
         + 4.0 * (mf - 2.0) / (mf**3 * (mf - 1.0)**2)
-        * (jnp.dot(k_xy_sums_1, k_xy_sums_1) + jnp.dot(k_xy_sums_0, k_xy_sums_0))
-        - 4.0 * (mf - 3.0) / (mf**3 * (mf - 1.0)**2) * k_xy_2_sum
-        - (8.0 * mf - 12.0) / (mf**5 * (mf - 1.0)) * k_xy_sum**2
+        * (s.dot_xy_rows + s.dot_xy_cols)
+        - 4.0 * (mf - 3.0) / (mf**3 * (mf - 1.0)**2) * s.k_xy_2_sum
+        - (8.0 * mf - 12.0) / (mf**5 * (mf - 1.0)) * s.k_xy_sum**2
         + 8.0 / (mf**3 * (mf - 1.0))
-        * (1.0 / mf * (kt_xx_sum + kt_yy_sum) * k_xy_sum
-           - jnp.dot(kt_xx_sums, k_xy_sums_1)
-           - jnp.dot(kt_yy_sums, k_xy_sums_0))
+        * (1.0 / mf * (s.kt_xx_sum + s.kt_yy_sum) * s.k_xy_sum
+           - s.dot_xx_xy - s.dot_yy_xy)
     )
     return mmd2_val, var_est
+
+
+def mmd2_and_variance(blocks: KernelBlocks,
+                      biased: bool = False) -> Tuple[Array, Array]:
+    """MMD^2 and the Sutherland-et-al. variance estimate of MMD^2_u.
+
+    Requires m == n (the estimator is defined for equal sample sizes;
+    the reference t-ratio path has the same restriction).
+    """
+    return mmd2_and_variance_from_stats(var_stats_from_blocks(blocks),
+                                        biased=biased)
 
 
 def mmd2_and_ratio(blocks: KernelBlocks, biased: bool = False,

@@ -251,10 +251,20 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
         return loss, aux
 
     if cfg.model == "tmmd":
-        # the variance estimator needs full Gram blocks: gather features
-        blocks = _blocks(cfg, _gather(f_fake, axis_name),
-                         _gather(f_real, axis_name))
-        mmd2_val, objective = mmd2_and_ratio(blocks)
+        if (axis_name is not None and cfg.use_ring_mmd
+                and cfg.kernel in ("gaussian", "rq")):
+            # ring-form variance estimator: the Sutherland formula is
+            # all row-sums / squared sums, psum-able over block rows —
+            # no dense global Gram needed (SURVEY.md §7 hard-part #3)
+            from smmdax.parallel.ring import ring_mmd2_and_ratio
+            mmd2_val, objective = ring_mmd2_and_ratio(
+                f_fake, f_real, axis_name, cfg.kernel,
+                rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+        else:
+            # dense path: the variance estimator over full Gram blocks
+            blocks = _blocks(cfg, _gather(f_fake, axis_name),
+                             _gather(f_real, axis_name))
+            mmd2_val, objective = mmd2_and_ratio(blocks)
     else:
         mmd2_val = mmd2_objective(cfg, f_fake, f_real, axis_name)
         objective = mmd2_val

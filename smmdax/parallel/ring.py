@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from smmdax.kernels import kernel_cross
-from smmdax.kernels.mmd import MMDSums, mmd2_from_sums
+from smmdax.kernels.mmd import (MMDSums, VarStats, mmd2_and_variance_from_stats,
+                                mmd2_from_sums)
 
 Array = jnp.ndarray
 
@@ -108,3 +109,117 @@ def ring_mmd2(x_loc: Array, y_loc: Array, axis_name: str,
         return mmd2_from_sums(sums, biased=True, diag_xx=diag_xx,
                               diag_yy=diag_yy)
     return mmd2_from_sums(sums, biased=False)
+
+
+def _const_diag(kernel: str, rbf_sigmas, rq_alphas) -> float:
+    """k(x, x) for the constant-diagonal kernels the ring paths serve."""
+    if kernel == "gaussian":
+        return float(len(rbf_sigmas))
+    if kernel == "rq":
+        return float(len(rq_alphas))
+    raise ValueError(
+        f"ring estimators need a constant-diagonal kernel, got {kernel!r}")
+
+
+def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
+                   kernel: str = "rq",
+                   rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
+                   rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
+                   ) -> VarStats:
+    """Global t-ratio sufficient statistics from per-shard features.
+
+    The Sutherland variance estimator is entirely row-sums, squared
+    sums and their dot products (smmdax.kernels.mmd.VarStats), all of
+    which are additive over Gram row-blocks:
+
+    * per-LOCAL-row accumulators (K~_XX / K~_YY / K_XY row sums) live on
+      the shard that owns the rows and collect contributions from every
+      column block as it rotates past;
+    * the per-y COLUMN sums of K_XY travel WITH the rotating y block
+      (a ring reduce): after the full cycle each shard holds the
+      complete column sums for its own y rows;
+    * squared-entry sums accumulate as scalars.
+
+    One psum over the scalars / local dot products then yields the
+    exact global statistics — never materializing any (B_g, B_g) Gram
+    matrix (O(B_g^2/N) work per shard, O(b^2) peak block memory).
+    Requires equal global sample counts (m == n), like the dense
+    estimator.
+    """
+    if x_loc.shape[0] != y_loc.shape[0]:
+        raise ValueError("t-ratio variance estimator requires m == n")
+    n_shards = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    diag = _const_diag(kernel, rbf_sigmas, rq_alphas)
+    b = x_loc.shape[0]
+
+    def cross(a, c):
+        return kernel_cross(kernel, a, c,
+                            rbf_sigmas=rbf_sigmas, rq_alphas=rq_alphas)
+
+    zero = jnp.float32(0.0)
+    zrow = jnp.zeros((b,), jnp.float32)
+    x_buf, y_buf = x_loc, y_loc
+    xx_rows, yy_rows, xy_rows = zrow, zrow, zrow
+    xy_cols = zrow                       # travels with y_buf (ring reduce)
+    kxx2 = kyy2 = kxy2 = zero
+
+    # unrolled: t == 0 (own block) folds the diagonal exclusion to
+    # compile-time constants, and XLA can overlap ppermute with the
+    # next block's compute
+    for t in range(n_shards):
+        k_xx = cross(x_loc, x_buf)
+        k_yy = cross(y_loc, y_buf)
+        k_xy = cross(x_loc, y_buf)
+        own = t == 0
+        xx_rows = xx_rows + jnp.sum(k_xx, axis=1) - (diag if own else 0.0)
+        yy_rows = yy_rows + jnp.sum(k_yy, axis=1) - (diag if own else 0.0)
+        kxx2 = kxx2 + jnp.sum(k_xx * k_xx) - (b * diag * diag if own else 0.0)
+        kyy2 = kyy2 + jnp.sum(k_yy * k_yy) - (b * diag * diag if own else 0.0)
+        xy_rows = xy_rows + jnp.sum(k_xy, axis=1)
+        xy_cols = xy_cols + jnp.sum(k_xy, axis=0)
+        kxy2 = kxy2 + jnp.sum(k_xy * k_xy)
+        x_buf = jax.lax.ppermute(x_buf, axis_name, perm)
+        y_buf = jax.lax.ppermute(y_buf, axis_name, perm)
+        xy_cols = jax.lax.ppermute(xy_cols, axis_name, perm)
+
+    # xy_cols has completed the ring: it is home, holding the full
+    # per-local-y column sums.  yy_rows indexes local y too, so their
+    # dot products pair correctly shard-by-shard.
+    def ps(v):
+        return jax.lax.psum(v, axis_name)
+
+    m = jnp.float32(b * n_shards)
+    return VarStats(
+        m=m,
+        kt_xx_sum=ps(jnp.sum(xx_rows)),
+        kt_yy_sum=ps(jnp.sum(yy_rows)),
+        k_xy_sum=ps(jnp.sum(xy_rows)),
+        kt_xx_2_sum=ps(kxx2),
+        kt_yy_2_sum=ps(kyy2),
+        k_xy_2_sum=ps(kxy2),
+        dot_xx_rows=ps(jnp.dot(xx_rows, xx_rows)),
+        dot_yy_rows=ps(jnp.dot(yy_rows, yy_rows)),
+        dot_xy_rows=ps(jnp.dot(xy_rows, xy_rows)),
+        dot_xy_cols=ps(jnp.dot(xy_cols, xy_cols)),
+        dot_xx_xy=ps(jnp.dot(xx_rows, xy_rows)),
+        dot_yy_xy=ps(jnp.dot(yy_rows, xy_cols)),
+        sum_diag_x=m * diag,
+        sum_diag_y=m * diag,
+    )
+
+
+def ring_mmd2_and_ratio(x_loc: Array, y_loc: Array, axis_name: str,
+                        kernel: str = "rq",
+                        rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
+                        rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
+                        min_var_est: float = 1e-8,
+                        ) -> Tuple[Array, Array]:
+    """Global-batch (MMD^2, t-ratio) from per-shard features — the ring
+    analog of ``smmdax.kernels.mmd.mmd2_and_ratio`` (tmmd model under
+    data parallelism without gathering dense Gram blocks)."""
+    stats = ring_var_stats(x_loc, y_loc, axis_name, kernel,
+                           rbf_sigmas, rq_alphas)
+    val, var = mmd2_and_variance_from_stats(stats, biased=False)
+    ratio = val / jnp.sqrt(jnp.maximum(var, min_var_est))
+    return val, ratio

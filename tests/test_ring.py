@@ -105,3 +105,40 @@ def test_ring_with_pallas_blocks_matches_global(kernel):
                                    rtol=5e-4, atol=1e-6)
     finally:
         pk._INTERPRET = old
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "rq"])
+def test_ring_ratio_matches_global(kernel):
+    """Ring-form t-ratio (mmd2 AND Sutherland variance from psum'd
+    sufficient stats) == dense single-device estimator, value + grad."""
+    from smmdax.kernels import mmd2_and_ratio
+    from smmdax.parallel.ring import ring_mmd2_and_ratio
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(k1, (64, 16)) * 0.6
+    y = jax.random.normal(k2, (64, 16)) * 0.6 + 0.4
+    mesh = _mesh()
+
+    ring = shard_map(
+        functools.partial(ring_mmd2_and_ratio, axis_name="data",
+                          kernel=kernel),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=(P(), P()))
+    got_val, got_ratio = jax.jit(ring)(x, y)
+    want_val, want_ratio = mmd2_and_ratio(kernel_matrices(kernel, x, y))
+    assert float(got_val) == pytest.approx(float(want_val), rel=2e-4, abs=1e-6)
+    assert float(got_ratio) == pytest.approx(float(want_ratio),
+                                             rel=5e-4, abs=1e-6)
+
+    # gradient of the RATIO (the tmmd training objective) must agree
+    gx_r, gy_r = jax.jit(jax.grad(lambda a, b: ring(a, b)[1],
+                                  argnums=(0, 1)))(x, y)
+    gx_g, gy_g = jax.grad(
+        lambda a, b: mmd2_and_ratio(kernel_matrices(kernel, a, b))[1],
+        argnums=(0, 1))(x, y)
+    # atol 2e-5 against gradients of scale ~0.2: f32 accumulation-order
+    # noise between the blockwise and dense reductions (value agrees to
+    # 5e-7; the variance formula's large cancellations amplify it)
+    np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_g),
+                               rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gy_r), np.asarray(gy_g),
+                               rtol=1e-3, atol=2e-5)

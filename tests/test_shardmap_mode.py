@@ -70,3 +70,47 @@ def test_shardmap_step_runs_and_stays_replicated():
     for v in vals[1:]:
         np.testing.assert_array_equal(vals[0], v)
     assert int(state.step) == 2
+
+
+def test_sharded_tmmd_ring_loss_matches_global():
+    """tmmd (t-ratio) under shard_map + ring variance stats == the
+    single-device dense estimator (round 2: no gathered Gram blocks)."""
+    cfg = _tiny_cfg(model="tmmd", use_ring_mmd=True)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    real = jax.random.normal(k1, (16, 4, 4, 2)) * 0.5
+    fake = jax.random.normal(k2, (16, 4, 4, 2)) * 0.5 + 0.3
+    w = jax.random.normal(k3, (4 * 4 * 2, 4)) * 0.3
+    critic = lambda x: x.reshape(x.shape[0], -1) @ w
+
+    loss_g, aux_g = critic_loss(cfg, critic, real, fake, jax.random.PRNGKey(1))
+
+    mesh = Mesh(np.array(jax.devices()[:N_DEV]), ("data",))
+    fn = shard_map(
+        lambda r, f: critic_loss(cfg, critic, r, f, jax.random.PRNGKey(1),
+                                 axis_name="data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=(P(), P()),
+        check_rep=False)
+    loss_s, aux_s = jax.jit(fn)(real, fake)
+    assert float(loss_s) == pytest.approx(float(loss_g), rel=5e-4, abs=1e-5)
+    assert float(aux_s.ratio) == pytest.approx(float(aux_g.ratio),
+                                               rel=5e-4, abs=1e-5)
+    assert float(aux_s.mmd2) == pytest.approx(float(aux_g.mmd2), rel=2e-4,
+                                              abs=1e-6)
+
+    # and the gradient w.r.t. critic params (the training signal)
+    def loss_of_w(wp, sharded):
+        crit = lambda x: x.reshape(x.shape[0], -1) @ wp
+        if sharded:
+            f = shard_map(
+                lambda r, fk: critic_loss(cfg, crit, r, fk,
+                                          jax.random.PRNGKey(1),
+                                          axis_name="data")[0],
+                mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
+                check_rep=False)
+            return f(real, fake)
+        return critic_loss(cfg, crit, real, fake, jax.random.PRNGKey(1))[0]
+
+    g_s = jax.jit(jax.grad(lambda wp: loss_of_w(wp, True)))(w)
+    g_g = jax.grad(lambda wp: loss_of_w(wp, False))(w)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_g),
+                               rtol=1e-3, atol=2e-5)
