@@ -49,20 +49,25 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     from smmdax.eval import (fid_from_features, get_feature_extractor,
-                             kid_from_features)
-    from smmdax.eval.features import InceptionFeatures, RandomConvFeatures
+                             inception_score, kid_from_features)
+    from smmdax.eval.features import (InceptionFeatures, RandomConvFeatures,
+                                      find_inception_weights)
 
     real, fake = _load(args.real), _load(args.fake)
 
+    if args.extractor == "inception":
+        path = find_inception_weights(args.data_dir)
+        ext = InceptionFeatures(path or os.path.join(args.data_dir,
+                                                     "inception_v3.pt"))
+    elif args.extractor == "random_conv":
+        ext = RandomConvFeatures()
+    else:
+        ext = get_feature_extractor(args.data_dir)
+
     def to_features(arr: np.ndarray) -> np.ndarray:
         if arr.ndim == 2:          # already features
+            to_features.name = "precomputed"
             return arr.astype(np.float32)
-        if args.extractor == "inception":
-            ext = InceptionFeatures(os.path.join(args.data_dir, "inception_v3.pt"))
-        elif args.extractor == "random_conv":
-            ext = RandomConvFeatures()
-        else:
-            ext = get_feature_extractor(args.data_dir)
         to_features.name = ext.name
         return ext(arr)
 
@@ -74,6 +79,9 @@ def main(argv=None) -> None:
                                      n_subsets=args.n_subsets)
     print(f"FID: {fid:.4f}")
     print(f"KID: {kid:.6f} +- {kid_std:.6f}")
+    if fake.ndim == 4 and hasattr(ext, "probs"):
+        is_mean, is_std = inception_score(ext.probs(fake))
+        print(f"IS: {is_mean:.4f} +- {is_std:.4f}")
     print(f"(extractor: {to_features.name}, n_real={len(fr)}, n_fake={len(ff)})")
 
 

@@ -14,6 +14,8 @@ from smmdax.eval.scores import (  # noqa: F401
 )
 from smmdax.eval.features import (  # noqa: F401
     FeatureExtractor,
+    InceptionFeatures,
     RandomConvFeatures,
+    find_inception_weights,
     get_feature_extractor,
 )

@@ -86,12 +86,19 @@ class RandomConvFeatures:
 
 
 class InceptionFeatures:
-    """Frozen Inception-v3 pool3 features (asset-gated).
+    """Frozen Inception-v3 pool3 features + class probs (asset-gated).
 
-    Expects a torchvision-format ``inception_v3`` state dict at
-    ``weights_path`` (torch runs CPU-side here; feature extraction is
-    interval work, not the hot path).  Raises FileNotFoundError with
-    instructions when the asset is absent.
+    The network itself is the JAX-native implementation in
+    ``smmdax.eval.inception`` (jitted, runs on the training devices —
+    golden-tested against an independent torch oracle in
+    ``tests/test_inception.py``); only the *weights* are an asset: a
+    torchvision ``inception_v3`` state dict (``.pt``/``.pth``) or an
+    ``.npz`` of the same tensors at ``weights_path``.  Raises
+    FileNotFoundError with instructions when the asset is absent.
+
+    ``__call__`` returns pool3 (2048-d) features for FID/KID;
+    ``probs`` returns 1000-way class probabilities for the Inception
+    Score (SURVEY.md component #10).
     """
 
     name = "inception_v3"
@@ -102,49 +109,38 @@ class InceptionFeatures:
             raise FileNotFoundError(
                 f"Inception weights not found at {weights_path}. This "
                 "environment cannot download them; place a torchvision "
-                "inception_v3 state_dict there to enable Inception-based "
-                "FID/KID (scores fall back to RandomConvFeatures otherwise).")
-        import torch
-        from torchvision.models import inception_v3  # type: ignore
-
-        model = inception_v3(weights=None, aux_logits=True, init_weights=False)
-        state = torch.load(weights_path, map_location="cpu")
-        model.load_state_dict(state)
-        model.fc = torch.nn.Identity()
-        model.eval()
-        self._model = model
-        self._torch = torch
+                "inception_v3 state_dict (.pt) or equivalent .npz there to "
+                "enable Inception-based FID/KID/IS (scores fall back to "
+                "RandomConvFeatures otherwise).")
+        from smmdax.eval.inception import InceptionV3, load_params
+        self._net = InceptionV3(load_params(weights_path), batch=batch)
         self.batch = batch
 
-    # torchvision's ImageNet-trained inception expects mean/std-
-    # normalized [0,1] input, NOT our [-1,1] training range
-    _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-    _STD = np.array([0.229, 0.224, 0.225], np.float32)
-
     def __call__(self, images: Array) -> Array:
-        torch = self._torch
-        images = np.asarray(images, np.float32)
-        images = (images + 1.0) / 2.0                      # -> [0, 1]
-        images = (images - self._MEAN) / self._STD
-        outs = []
-        with torch.no_grad():
-            for i in range(0, len(images), self.batch):
-                chunk = images[i:i + self.batch]
-                x = torch.from_numpy(chunk).permute(0, 3, 1, 2)
-                x = torch.nn.functional.interpolate(
-                    x, size=(299, 299), mode="bilinear", align_corners=False)
-                outs.append(self._model(x).numpy())
-        return np.concatenate(outs).astype(np.float32)
+        return self._net.pool3(np.asarray(images, np.float32))
+
+    def probs(self, images: Array) -> Array:
+        """Softmax class probabilities (for the Inception Score)."""
+        return self._net.probs(np.asarray(images, np.float32))
+
+
+def find_inception_weights(data_dir: str = "./data") -> Optional[str]:
+    """First existing Inception weight asset under data_dir, if any."""
+    for fname in ("inception_v3.pt", "inception_v3.pth", "inception_v3.npz"):
+        path = os.path.join(data_dir, fname)
+        if os.path.exists(path):
+            return path
+    return None
 
 
 def get_feature_extractor(data_dir: str = "./data",
                           prefer_inception: bool = True) -> FeatureExtractor:
     """Inception if its weights asset exists, else the offline extractor."""
-    path = os.path.join(data_dir, "inception_v3.pt")
-    if prefer_inception and os.path.exists(path):
+    path = find_inception_weights(data_dir)
+    if prefer_inception and path is not None:
         try:
             return InceptionFeatures(path)
-        except Exception as e:          # torchvision absent, bad file, ...
+        except Exception as e:          # corrupt/mismatched file, ...
             print(f"[smmdax.eval] Inception load failed ({e}); "
                   "falling back to RandomConvFeatures")
     return RandomConvFeatures()

@@ -1,0 +1,282 @@
+"""Golden tests for the JAX-native Inception-v3 (smmdax/eval/inception.py).
+
+No downloadable weights exist in this environment (SURVEY.md SS7
+hard-part #5), so validation is offline-by-construction:
+
+* ``random_state_dict()`` emits a synthetic state dict with exactly the
+  torchvision ``inception_v3(aux_logits=True)`` key schema.
+* ``TorchInception3`` below is an INDEPENDENT torch re-implementation of
+  the published architecture (arXiv:1512.00567 / torchvision layout),
+  written module-by-module here in the test, that loads the synthetic
+  dict with ``strict=True`` — so any key-name or shape drift between our
+  spec table and the torchvision schema fails loudly.
+* The JAX net must match the torch oracle's pool3 features and logits
+  on random inputs to f32 tolerance, with BN folding and all.
+
+When real torchvision weights appear at data/inception_v3.pt, the same
+converter path is what loads them — nothing else needs to change.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from smmdax.eval import inception as jinc
+
+
+# ---------------------------------------------------------------------------
+# Independent torch oracle (eval-mode BN eps=1e-3, torchvision layout).
+# ---------------------------------------------------------------------------
+
+
+class BasicConv2d(nn.Module):
+    def __init__(self, c_in, c_out, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(c_in, c_out, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(c_out, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class InceptionA(nn.Module):
+    def __init__(self, c_in, pool_features):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(c_in, 64, kernel_size=1)
+        self.branch5x5_1 = BasicConv2d(c_in, 48, kernel_size=1)
+        self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = BasicConv2d(c_in, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = BasicConv2d(c_in, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        return torch.cat([b1, b5, b3, bp], 1)
+
+
+class InceptionB(nn.Module):
+    def __init__(self, c_in):
+        super().__init__()
+        self.branch3x3 = BasicConv2d(c_in, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = BasicConv2d(c_in, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        return torch.cat([b3, bd, F.max_pool2d(x, kernel_size=3, stride=2)], 1)
+
+
+class InceptionC(nn.Module):
+    def __init__(self, c_in, c7):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(c_in, 192, kernel_size=1)
+        self.branch7x7_1 = BasicConv2d(c_in, c7, kernel_size=1)
+        self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = BasicConv2d(c_in, c7, kernel_size=1)
+        self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = BasicConv2d(c_in, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class InceptionD(nn.Module):
+    def __init__(self, c_in):
+        super().__init__()
+        self.branch3x3_1 = BasicConv2d(c_in, 192, kernel_size=1)
+        self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = BasicConv2d(c_in, 192, kernel_size=1)
+        self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+            self.branch7x7x3_1(x))))
+        return torch.cat([b3, b7, F.max_pool2d(x, kernel_size=3, stride=2)], 1)
+
+
+class InceptionE(nn.Module):
+    def __init__(self, c_in):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(c_in, 320, kernel_size=1)
+        self.branch3x3_1 = BasicConv2d(c_in, 384, kernel_size=1)
+        self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = BasicConv2d(c_in, 448, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = BasicConv2d(c_in, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class InceptionAux(nn.Module):
+    def __init__(self, c_in, num_classes):
+        super().__init__()
+        self.conv0 = BasicConv2d(c_in, 128, kernel_size=1)
+        self.conv1 = BasicConv2d(128, 768, kernel_size=5)
+        self.fc = nn.Linear(768, num_classes)
+
+    def forward(self, x):   # pragma: no cover - train-time head, unused
+        x = F.avg_pool2d(x, kernel_size=5, stride=3)
+        x = self.conv1(self.conv0(x))
+        return self.fc(torch.flatten(F.adaptive_avg_pool2d(x, (1, 1)), 1))
+
+
+class TorchInception3(nn.Module):
+    """Oracle with torchvision's exact module names."""
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = InceptionA(192, 32)
+        self.Mixed_5c = InceptionA(256, 64)
+        self.Mixed_5d = InceptionA(288, 64)
+        self.Mixed_6a = InceptionB(288)
+        self.Mixed_6b = InceptionC(768, 128)
+        self.Mixed_6c = InceptionC(768, 160)
+        self.Mixed_6d = InceptionC(768, 160)
+        self.Mixed_6e = InceptionC(768, 192)
+        self.AuxLogits = InceptionAux(768, num_classes)
+        self.Mixed_7a = InceptionD(768)
+        self.Mixed_7b = InceptionE(1280)
+        self.Mixed_7c = InceptionE(2048)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = F.max_pool2d(x, kernel_size=3, stride=2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = F.max_pool2d(x, kernel_size=3, stride=2)
+        x = self.Mixed_5d(self.Mixed_5c(self.Mixed_5b(x)))
+        x = self.Mixed_6a(x)
+        x = self.Mixed_6e(self.Mixed_6d(self.Mixed_6c(self.Mixed_6b(x))))
+        x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
+        pool3 = torch.flatten(F.adaptive_avg_pool2d(x, (1, 1)), 1)
+        return pool3, self.fc(pool3)
+
+
+@pytest.fixture(scope="module")
+def oracle_and_params():
+    state = jinc.random_state_dict(seed=7)
+    model = TorchInception3()
+    model.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in state.items()},
+                          strict=True)
+    model.eval()
+    params = jinc.convert_torchvision_state_dict(state)
+    return model, params
+
+
+def test_state_dict_schema_strict(oracle_and_params):
+    # load_state_dict(strict=True) inside the fixture IS the assertion:
+    # our spec table emits exactly the torchvision key set and shapes.
+    model, params = oracle_and_params
+    assert params["fc"]["w"].shape == (2048, 1000)
+    assert len([k for k in params if k != "fc"]) == len(jinc.conv_specs())
+
+
+def test_forward_matches_torch_oracle(oracle_and_params):
+    model, params = oracle_and_params
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.5, 1.5, (2, 299, 299, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_pool, t_logits = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_pool, j_logits = jinc.forward(params, np.asarray(x),
+                                    apply_transform_input=False)
+    np.testing.assert_allclose(np.asarray(j_pool), t_pool.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_transform_input_matches_torchvision_formula():
+    x = np.random.default_rng(1).normal(size=(1, 8, 8, 3)).astype(np.float32)
+    y = np.asarray(jinc.transform_input(x))
+    t = x.transpose(0, 3, 1, 2)
+    exp = np.stack([t[:, 0] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5,
+                    t[:, 1] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5,
+                    t[:, 2] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5], 1)
+    np.testing.assert_allclose(y.transpose(0, 3, 1, 2), exp, rtol=1e-6, atol=1e-6)
+
+
+def test_preprocess_resize_matches_torch_interpolate():
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    out = np.asarray(jinc.preprocess(imgs, size=299))
+    x = (imgs + 1.0) * 0.5
+    x = (x - jinc.IMAGENET_MEAN) / jinc.IMAGENET_STD
+    t = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(299, 299),
+        mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(out.transpose(0, 3, 1, 2), t.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_npz_roundtrip(tmp_path, oracle_and_params):
+    model, params = oracle_and_params
+    state = jinc.random_state_dict(seed=7)
+    path = tmp_path / "inception_v3.npz"
+    np.savez(path, **state)
+    loaded = jinc.load_params(str(path))
+    for name in ("Conv2d_1a_3x3", "Mixed_7c.branch_pool", "fc"):
+        for leaf in ("w", "b"):
+            np.testing.assert_allclose(np.asarray(loaded[name][leaf]),
+                                       np.asarray(params[name][leaf]),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_converter_rejects_wrong_shape():
+    state = jinc.random_state_dict(seed=3, include_aux=False)
+    state["Conv2d_1a_3x3.conv.weight"] = np.zeros((32, 3, 5, 5), np.float32)
+    with pytest.raises(ValueError, match="Conv2d_1a_3x3"):
+        jinc.convert_torchvision_state_dict(state)
+
+
+def test_extractor_and_inception_score_reachable(tmp_path):
+    """--extractor inception end-to-end on synthetic weights: pool3
+    features feed FID/KID, probs feed IS (VERDICT item 3)."""
+    from smmdax.eval.features import InceptionFeatures
+    from smmdax.eval.scores import inception_score
+
+    path = tmp_path / "inception_v3.npz"
+    np.savez(path, **jinc.random_state_dict(seed=11))
+    ext = InceptionFeatures(str(path), batch=2)
+    imgs = np.random.default_rng(4).uniform(-1, 1, (3, 32, 32, 3)).astype(np.float32)
+    feats = ext(imgs)
+    assert feats.shape == (3, 2048) and feats.dtype == np.float32
+    probs = ext.probs(imgs)
+    assert probs.shape == (3, 1000)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+    mean_is, std_is = inception_score(probs, n_splits=2)
+    assert mean_is >= 1.0 - 1e-6
