@@ -120,7 +120,13 @@ class Config:
     global_batch_mmd: bool = True        # MMD over the global batch (all-gather feats)
     use_ring_mmd: bool = False           # block-row ring estimator over ICI
                                          # (effective in shard_map mode; implies it)
-    use_pallas: bool = False             # Pallas fused kernel+MMD hot path
+    use_pallas: str = "auto"             # Pallas fused kernel+MMD hot path:
+                                         # on | off | auto (auto = fused path
+                                         # when the Gram rows a pair-sum sees
+                                         # reach pallas_min_rows on TPU —
+                                         # measured crossover, BASELINE.md;
+                                         # bools accepted and normalized)
+    pallas_min_rows: int = 4096          # auto-dispatch crossover (rows)
     compute_dtype: str = "float32"       # bfloat16 for MXU-heavy conv paths
     remat: bool = False                  # rematerialize critic forwards in
                                          # backward passes (HBM for FLOPs —
@@ -166,6 +172,16 @@ class Config:
                 f"scaling_grad_estimator must be one of {GRAD_ESTIMATORS}")
         if self.dp_mode not in ("gspmd", "shard_map"):
             raise ValueError("dp_mode must be gspmd or shard_map")
+        up = self.use_pallas
+        if isinstance(up, bool):
+            up = "on" if up else "off"
+        elif isinstance(up, str) and up.lower() in ("true", "1", "yes"):
+            up = "on"
+        elif isinstance(up, str) and up.lower() in ("false", "0", "no"):
+            up = "off"
+        if up not in ("on", "off", "auto"):
+            raise ValueError(f"use_pallas must be on/off/auto, got {self.use_pallas!r}")
+        object.__setattr__(self, "use_pallas", up)
         if self.use_ring_mmd and self.dp_mode == "gspmd" \
                 and self.num_data_shards > 1:
             object.__setattr__(self, "dp_mode", "shard_map")

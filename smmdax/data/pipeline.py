@@ -166,6 +166,65 @@ class CelebASource:
         return out
 
 
+class LSUNSource:
+    """LSUN LMDB environment -> decode (webp/jpeg) -> center-crop the
+    shortest side -> resize to output_size, in [-1, 1].
+
+    Reads the LMDB B+tree directly through smmdax.data.lmdb_store (no
+    ``lmdb`` package in this environment); random access over the key
+    index keeps batches a pure function of (seed, step) like every
+    other source (SURVEY.md #9 — the reference reads LSUN through the
+    lmdb C library + TF queue runners; this is the stateless analog).
+    """
+
+    def __init__(self, lmdb_path: str, output_size: int = 64, seed: int = 0):
+        from smmdax.data.lmdb_store import LMDBReader
+        self.reader = LMDBReader(lmdb_path)
+        if len(self.reader) == 0:
+            raise FileNotFoundError(f"empty LMDB at {lmdb_path}")
+        self.output_size = output_size
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def sample_shape(self) -> Tuple[int, ...]:
+        return (self.output_size, self.output_size, 3)
+
+    def _decode(self, i: int) -> Array:
+        import io
+
+        from PIL import Image
+        img = Image.open(io.BytesIO(self.reader.value(i))).convert("RGB")
+        w, h = img.size
+        c = min(w, h)
+        left, top = (w - c) // 2, (h - c) // 2
+        img = img.crop((left, top, left + c, top + c))
+        if self.output_size != c:
+            img = img.resize((self.output_size,) * 2, Image.BILINEAR)
+        return np.asarray(img, np.float32) / 127.5 - 1.0
+
+    def batch(self, n: int, key: Optional[int] = None) -> Array:
+        rng = self._rng if key is None else np.random.default_rng(
+            (self.seed, key))
+        idx = rng.integers(0, len(self.reader), size=n)
+        out = np.empty((n, self.output_size, self.output_size, 3), np.float32)
+        for i, j in enumerate(idx):
+            out[i] = self._decode(int(j))
+        return out
+
+
+def _find_lsun_lmdb(root: str) -> Optional[str]:
+    """data_dir/lsun may BE an environment, or contain one or more
+    ``*_lmdb`` environment directories (the official LSUN layout)."""
+    if not os.path.isdir(root):
+        return None
+    if os.path.exists(os.path.join(root, "data.mdb")):
+        return root
+    envs = sorted(d for d in os.listdir(root)
+                  if os.path.exists(os.path.join(root, d, "data.mdb")))
+    return os.path.join(root, envs[0]) if envs else None
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 
@@ -208,7 +267,20 @@ def make_dataset(cfg: Config) -> DataSource:
                 f.read(16)
                 x = np.frombuffer(f.read(), np.uint8).reshape(-1, 28, 28, 1)
             return ArraySource(x.copy(), seed=cfg.random_seed)
-    elif ds in ("celeba", "lsun"):
+    elif ds == "lsun":
+        lmdb_env = _find_lsun_lmdb(os.path.join(cfg.data_dir, "lsun"))
+        if lmdb_env is not None:
+            return LSUNSource(lmdb_env, cfg.output_size, seed=cfg.random_seed)
+        src = _try_tfrecords(cfg, ds)
+        if src is not None:
+            return src
+        root = os.path.join(cfg.data_dir, ds)
+        if os.path.isdir(root):
+            try:
+                return CelebASource(root, cfg.output_size, seed=cfg.random_seed)
+            except FileNotFoundError:
+                pass
+    elif ds == "celeba":
         src = _try_tfrecords(cfg, ds)
         if src is not None:
             return src

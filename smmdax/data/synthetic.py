@@ -77,22 +77,37 @@ class SyntheticImages:
     def sample_shape(self) -> Tuple[int, ...]:
         return (self.size, self.size, self.channels)
 
-    def batch(self, n: int, key: Optional[int] = None) -> Array:
+    def _draw(self, n: int, key: Optional[int]):
+        """One combined prototype+shift gather plus the per-sample
+        jitter coefficients.  The host pipeline must stay well under the
+        ~21 ms device macro-step (profiled round 2), so everything is a
+        single fancy-gather and one fused multiply-add pass — the
+        per-sample jitter commutes with the circular shift, which lets
+        the shift fold INTO the prototype gather instead of being a
+        second full-batch pass."""
         rng = self._rng if key is None else np.random.default_rng(
             (self.seed, key))
         idx = rng.integers(0, len(self.protos), size=n)
-        imgs = self.protos[idx].copy()
-        # per-sample brightness/contrast jitter
         gain = rng.uniform(0.7, 1.0, (n, 1, 1, 1)).astype(np.float32)
         bias = rng.uniform(-0.1, 0.1, (n, 1, 1, 1)).astype(np.float32)
-        imgs = np.clip(imgs * gain + bias, -1.0, 1.0)
-        # per-sample circular shift (cheap spatial augmentation),
-        # vectorized as one fancy-gather — a per-sample np.roll loop was
-        # the host bottleneck of the training loop (device step is ~9ms
-        # per optimizer update; host must stay well under that)
         shifts = rng.integers(-4, 5, size=(n, 2))
         ar = np.arange(self.size)
         row_idx = (ar[None, :] - shifts[:, 0:1]) % self.size     # (n, h)
         col_idx = (ar[None, :] - shifts[:, 1:2]) % self.size     # (n, w)
-        return imgs[np.arange(n)[:, None, None],
-                    row_idx[:, :, None], col_idx[:, None, :]]
+        imgs = self.protos[idx[:, None, None],
+                           row_idx[:, :, None], col_idx[:, None, :]]
+        return imgs, gain, bias
+
+    def batch(self, n: int, key: Optional[int] = None) -> Array:
+        imgs, gain, bias = self._draw(n, key)
+        return np.clip(imgs * gain + bias, -1.0, 1.0)
+
+    def batch_u8(self, n: int, key: Optional[int] = None) -> Array:
+        """Exactly ``round((batch(n, key) + 1) * 127.5)`` as uint8, in
+        one fused pass (rint is monotone, so quantize-then-clip equals
+        clip-then-quantize): the uint8_transfer fast path without ever
+        materializing the float [-1, 1] batch."""
+        imgs, gain, bias = self._draw(n, key)
+        out = np.rint(imgs * (gain * 127.5) + (bias + 1.0) * 127.5)
+        np.clip(out, 0.0, 255.0, out=out)
+        return out.astype(np.uint8)

@@ -58,6 +58,16 @@ def _kernel_params(cfg: Config):
     return cfg.rbf_sigmas if cfg.kernel == "gaussian" else cfg.rq_alphas
 
 
+def _pallas(cfg: Config, f_a: Array, f_b: Array) -> bool:
+    """Static (trace-time) fused-vs-dense decision for the Gram blocks
+    these two feature matrices will produce (on/off/auto dispatch —
+    VERDICT item 5; crossover measured in BASELINE.md)."""
+    from smmdax.pallas.dispatch import should_use_pallas
+    return should_use_pallas(cfg.use_pallas, cfg.kernel,
+                             f_a.shape[0], f_b.shape[0],
+                             min_rows=cfg.pallas_min_rows)
+
+
 def _gather(f: Array, axis_name: Optional[str]) -> Array:
     """Local (b, d) feature shard -> global (B_g, d) on every shard."""
     if axis_name is None:
@@ -83,7 +93,7 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
     if axis_name is not None and not cfg.global_batch_mmd:
         # per-shard local-batch estimator, averaged across shards (the
         # cheap non-global variant; the [SPEC] default is global)
-        if cfg.use_pallas and cfg.kernel in ("gaussian", "rq"):
+        if _pallas(cfg, f_fake, f_real):
             from smmdax.pallas import fused_mmd2
             local = fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg))
         else:
@@ -91,12 +101,13 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
         return jax.lax.pmean(local, axis_name)
     if axis_name is not None and cfg.use_ring_mmd and cfg.kernel in ("gaussian", "rq"):
         from smmdax.parallel.ring import ring_mmd2
+        # the ring's pair sums see (local_b, local_b) blocks
         return ring_mmd2(f_fake, f_real, axis_name, cfg.kernel,
                          rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
-                         use_pallas=cfg.use_pallas)
+                         use_pallas=_pallas(cfg, f_fake, f_real))
     f_fake = _gather(f_fake, axis_name)
     f_real = _gather(f_real, axis_name)
-    if cfg.use_pallas and cfg.kernel in ("gaussian", "rq"):
+    if _pallas(cfg, f_fake, f_real):
         from smmdax.pallas import fused_mmd2
         return fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg))
     return mmd2(_blocks(cfg, f_fake, f_real))

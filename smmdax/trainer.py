@@ -110,6 +110,13 @@ class Trainer:
             subset_size=min(cfg.score_subset_size, n),
             n_subsets=cfg.score_subsets)
         out = {"fid": fid, "kid": kid, "kid_std": kid_std}
+        if hasattr(self._extractor, "probs"):
+            # Inception extractor: the reference logged IS alongside
+            # FID/KID (SURVEY.md #10)
+            from smmdax.eval import inception_score
+            is_mean, is_std = inception_score(self._extractor.probs(fake))
+            out["inception_score"] = is_mean
+            out["inception_score_std"] = is_std
 
         if cfg.MMD_lr_scheduler:
             if self._best_feats is None or kid < self._best_kid:

@@ -1,0 +1,87 @@
+"""Pallas auto-dispatch (smmdax/pallas/dispatch.py — VERDICT item 5).
+
+The decision is a pure trace-time function of (mode, kernel, shapes,
+platform); both arms must produce the same estimator value (the fused
+path is interpret-mode on CPU here; TPU timings live in BASELINE.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import smmdax.pallas.mmd_kernel as pk
+from smmdax.configs import Config
+from smmdax.losses import mmd2_objective
+from smmdax.pallas.dispatch import should_use_pallas
+
+
+def test_mode_on_off_override_size():
+    for plat in ("cpu", "tpu", "axon"):
+        assert should_use_pallas("on", "rq", 4, 4, platform=plat)
+        assert not should_use_pallas("off", "rq", 10**6, 10**6, platform=plat)
+    # bools are accepted (Config normalizes, but the function is public)
+    assert should_use_pallas(True, "gaussian", 4, 4, platform="cpu")
+    assert not should_use_pallas(False, "gaussian", 10**6, 10**6, platform="tpu")
+
+
+def test_auto_uses_size_crossover_on_accelerators():
+    assert not should_use_pallas("auto", "rq", 64, 64, platform="tpu")
+    assert should_use_pallas("auto", "rq", 8192, 8192, platform="tpu")
+    assert should_use_pallas("auto", "rq", 64, 8192, platform="axon")
+    assert should_use_pallas("auto", "rq", 4096, 4096, min_rows=4096,
+                             platform="tpu")
+    # interpret-mode Pallas is never a win: auto on CPU is always dense
+    assert not should_use_pallas("auto", "rq", 10**6, 10**6, platform="cpu")
+
+
+def test_non_mixture_kernels_never_dispatch():
+    for mode in ("on", "auto"):
+        assert not should_use_pallas(mode, "dot", 10**6, 10**6, platform="tpu")
+        assert not should_use_pallas(mode, "distance", 10**6, 10**6,
+                                     platform="tpu")
+
+
+def test_unknown_mode_raises():
+    with pytest.raises(ValueError, match="on/off/auto"):
+        should_use_pallas("sometimes", "rq", 64, 64, platform="tpu")
+
+
+def test_config_normalizes_bool_and_string_modes():
+    assert Config(use_pallas=True).use_pallas == "on"
+    assert Config(use_pallas=False).use_pallas == "off"
+    assert Config(use_pallas="true").use_pallas == "on"
+    assert Config(use_pallas="FALSE").use_pallas == "off"
+    assert Config().use_pallas == "auto"
+    with pytest.raises(ValueError, match="use_pallas"):
+        Config(use_pallas="maybe")
+
+
+def test_dispatch_arms_agree_in_value():
+    """mmd2_objective under use_pallas on vs off: same estimator."""
+    old = pk._INTERPRET
+    pk._INTERPRET = True
+    try:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        f_fake = jax.random.normal(k1, (96, 16)) * 0.8
+        f_real = jax.random.normal(k2, (96, 16)) + 0.2
+        vals = {}
+        for mode in ("on", "off"):
+            cfg = Config(model="mmd", kernel="rq", use_pallas=mode)
+            vals[mode] = float(mmd2_objective(cfg, f_fake, f_real))
+        assert vals["on"] == pytest.approx(vals["off"], rel=2e-4, abs=1e-6)
+    finally:
+        pk._INTERPRET = old
+
+
+def test_auto_is_dense_on_cpu_even_above_threshold():
+    """auto on the CPU test backend resolves to the dense oracle (no
+    interpret-mode Pallas in the trace), including above min_rows."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    f_fake = jax.random.normal(k1, (128, 8))
+    f_real = jax.random.normal(k2, (128, 8))
+    cfg = Config(model="mmd", kernel="rq", pallas_min_rows=64)  # < 128 rows
+    # would crash on CPU if the fused path were traced (Mosaic kernels
+    # don't lower on the CPU backend outside interpret mode)
+    v = float(mmd2_objective(cfg, f_fake, f_real))
+    assert np.isfinite(v)

@@ -165,3 +165,34 @@ def test_reload_best_on_decay(tmp_path, monkeypatch):
     for a, b in zip(jax.tree.leaves(t.state.g_params),
                     jax.tree.leaves(best.g_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_inloop_inception_score_logged_when_probs_available(tmp_path):
+    """When the active extractor exposes class probs (the Inception
+    extractor), in-loop scoring logs IS alongside FID/KID (SURVEY #10)."""
+    cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
+               output_size=32, gf_dim=8, df_dim=8, max_iteration=1,
+               compute_scores=True, score_every=1, no_of_samples=32,
+               score_subset_size=32, score_subsets=2,
+               MMD_lr_scheduler=False, checkpoint_every=0)
+    t = Trainer(cfg)
+    t.train()
+
+    class ProbsExtractor:
+        name = "stub"
+        feature_dim = 8
+
+        def __call__(self, imgs):
+            rng = np.random.default_rng(0)
+            return rng.normal(size=(len(imgs), 8)).astype(np.float32)
+
+        def probs(self, imgs):
+            rng = np.random.default_rng(1)
+            p = rng.uniform(0.1, 1.0, size=(len(imgs), 10))
+            return (p / p.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    t._extractor = ProbsExtractor()
+    t._real_feats = None
+    out = t._score(1)
+    assert "inception_score" in out and out["inception_score"] >= 1.0 - 1e-6
+    assert "fid" in out and "kid" in out
