@@ -127,6 +127,14 @@ class Config:
                                          # measured crossover, BASELINE.md;
                                          # bools accepted and normalized)
     pallas_min_rows: int = 4096          # auto-dispatch crossover (rows)
+    fuse_critic_batches: bool = False    # apply the critic ONCE on
+                                         # concat(real, fake) per loss.
+                                         # Semantically exact (per-sample
+                                         # convs, no BN in the critic) but
+                                         # measured a wash on this link
+                                         # (BASELINE.md round 2), so off by
+                                         # default; may win on larger
+                                         # images / non-tunneled hardware
     compute_dtype: str = "float32"       # bfloat16 for MXU-heavy conv paths
     remat: bool = False                  # rematerialize critic forwards in
                                          # backward passes (HBM for FLOPs —

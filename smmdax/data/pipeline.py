@@ -177,7 +177,8 @@ class LSUNSource:
     lmdb C library + TF queue runners; this is the stateless analog).
     """
 
-    def __init__(self, lmdb_path: str, output_size: int = 64, seed: int = 0):
+    def __init__(self, lmdb_path: str, output_size: int = 64, seed: int = 0,
+                 decode_threads: int = 8):
         from smmdax.data.lmdb_store import LMDBReader
         self.reader = LMDBReader(lmdb_path)
         if len(self.reader) == 0:
@@ -185,12 +186,21 @@ class LSUNSource:
         self.output_size = output_size
         self.seed = seed
         self._rng = np.random.default_rng(seed)
+        # PIL decode releases the GIL: a thread pool keeps per-batch
+        # decode off the training critical path (decode of one 256px
+        # webp is multiple ms; 384/step single-threaded would dominate
+        # the ~21 ms device step).  For full-rate production training
+        # use smmdax.data.convert to pack a decode-once uint8 cache.
+        import concurrent.futures as cf
+        self._pool = cf.ThreadPoolExecutor(max_workers=decode_threads)
 
     @property
     def sample_shape(self) -> Tuple[int, ...]:
         return (self.output_size, self.output_size, 3)
 
-    def _decode(self, i: int) -> Array:
+    def decode_u8(self, i: int) -> Array:
+        """One record -> (size, size, 3) uint8 (crop shortest side,
+        bilinear resize) — also the conversion tool's unit of work."""
         import io
 
         from PIL import Image
@@ -201,16 +211,23 @@ class LSUNSource:
         img = img.crop((left, top, left + c, top + c))
         if self.output_size != c:
             img = img.resize((self.output_size,) * 2, Image.BILINEAR)
-        return np.asarray(img, np.float32) / 127.5 - 1.0
+        return np.asarray(img, np.uint8)
 
-    def batch(self, n: int, key: Optional[int] = None) -> Array:
+    def _indices(self, n: int, key: Optional[int]) -> Array:
         rng = self._rng if key is None else np.random.default_rng(
             (self.seed, key))
-        idx = rng.integers(0, len(self.reader), size=n)
-        out = np.empty((n, self.output_size, self.output_size, 3), np.float32)
-        for i, j in enumerate(idx):
-            out[i] = self._decode(int(j))
+        return rng.integers(0, len(self.reader), size=n)
+
+    def batch_u8(self, n: int, key: Optional[int] = None) -> Array:
+        idx = self._indices(n, key)
+        out = np.empty((n, self.output_size, self.output_size, 3), np.uint8)
+        for i, arr in enumerate(self._pool.map(self.decode_u8,
+                                               (int(j) for j in idx))):
+            out[i] = arr
         return out
+
+    def batch(self, n: int, key: Optional[int] = None) -> Array:
+        return self.batch_u8(n, key).astype(np.float32) / 127.5 - 1.0
 
 
 def _find_lsun_lmdb(root: str) -> Optional[str]:
@@ -267,20 +284,18 @@ def make_dataset(cfg: Config) -> DataSource:
                 f.read(16)
                 x = np.frombuffer(f.read(), np.uint8).reshape(-1, 28, 28, 1)
             return ArraySource(x.copy(), seed=cfg.random_seed)
-    elif ds == "lsun":
-        lmdb_env = _find_lsun_lmdb(os.path.join(cfg.data_dir, "lsun"))
-        if lmdb_env is not None:
-            return LSUNSource(lmdb_env, cfg.output_size, seed=cfg.random_seed)
-        src = _try_tfrecords(cfg, ds)
-        if src is not None:
-            return src
-        root = os.path.join(cfg.data_dir, ds)
-        if os.path.isdir(root):
-            try:
-                return CelebASource(root, cfg.output_size, seed=cfg.random_seed)
-            except FileNotFoundError:
-                pass
-    elif ds == "celeba":
+    elif ds in ("lsun", "celeba"):
+        # fastest path first: a decode-once packed uint8 cache (memmap +
+        # C++ gather; built by ``python -m smmdax.data.convert``)
+        from smmdax.data.convert import load_packed, packed_path
+        packed = load_packed(packed_path(cfg.data_dir, ds, cfg.output_size))
+        if packed is not None:
+            return ArraySource(packed, seed=cfg.random_seed)
+        if ds == "lsun":
+            lmdb_env = _find_lsun_lmdb(os.path.join(cfg.data_dir, "lsun"))
+            if lmdb_env is not None:
+                return LSUNSource(lmdb_env, cfg.output_size,
+                                  seed=cfg.random_seed)
         src = _try_tfrecords(cfg, ds)
         if src is not None:
             return src

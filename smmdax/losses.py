@@ -68,6 +68,24 @@ def _pallas(cfg: Config, f_a: Array, f_b: Array) -> bool:
                              min_rows=cfg.pallas_min_rows)
 
 
+def _critic_features(cfg: Config, critic: Critic,
+                     real: Array, fake: Array) -> Tuple[Array, Array]:
+    """critic(real), critic(fake) — as ONE application on the
+    concatenated batch when shapes allow (cfg.fuse_critic_batches).
+
+    Convs/SN-dense are per-sample maps (no BatchNorm in the critic), so
+    the fused application is semantically identical while doubling the
+    conv batch.  Measured round 2 (BASELINE.md): a wash at 32px B=64 on
+    this link (the step is transfer/dispatch-bound there), so the flag
+    defaults off; kept because larger images or real PCIe/DMA hosts
+    shift the balance toward fewer, bigger conv stacks.
+    """
+    if cfg.fuse_critic_batches and real.shape[1:] == fake.shape[1:]:
+        f = critic(jnp.concatenate([real, fake], axis=0))
+        return f[:real.shape[0]], f[real.shape[0]:]
+    return critic(real), critic(fake)
+
+
 def _gather(f: Array, axis_name: Optional[str]) -> Array:
     """Local (b, d) feature shard -> global (B_g, d) on every shard."""
     if axis_name is None:
@@ -243,8 +261,7 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
     value — and therefore pmean'd gradients — match the single-device
     global-batch computation.
     """
-    f_real = critic(real)
-    f_fake = critic(fake)
+    f_real, f_fake = _critic_features(cfg, critic, real, fake)
 
     if cfg.model == "wgan-gp":
         h_real = _pmean(jnp.mean(_scalar_critic(f_real)), axis_name)
@@ -316,8 +333,7 @@ def generator_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
     for G it is a positive constant — we still apply it so the
     effective generator step size matches the scaled objective.
     """
-    f_real = critic(real)
-    f_fake = critic(fake)
+    f_real, f_fake = _critic_features(cfg, critic, real, fake)
 
     if cfg.model == "wgan-gp":
         h_real = _pmean(jnp.mean(_scalar_critic(f_real)), axis_name)

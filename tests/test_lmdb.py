@@ -113,3 +113,46 @@ def test_lsun_decode_is_exact_at_native_size(tmp_path):
     expected = arr.astype(np.float32) / 127.5 - 1.0
     np.testing.assert_allclose(out[0], expected, atol=1e-6)
     np.testing.assert_allclose(out[1], expected, atol=1e-6)
+
+
+def test_pack_lsun_and_packed_pickup(tmp_path):
+    """Decode-once conversion (smmdax/data/convert.py): packed uint8
+    equals the live LSUN decode, and make_dataset prefers the packed
+    memmap (ArraySource -> C++ gather + uint8-transfer fast paths)."""
+    from smmdax.data.convert import load_packed, pack_lsun, packed_path
+    from smmdax.data.pipeline import ArraySource
+
+    _write_lsun_fixture(str(tmp_path))
+    env = os.path.join(str(tmp_path), "lsun", "bedroom_train_lmdb")
+    out = packed_path(str(tmp_path), "lsun", 64)
+    pack_lsun(env, out, size=64, log_every=0)
+
+    packed = load_packed(out)
+    assert packed.shape[1:] == (64, 64, 3) and packed.dtype == np.uint8
+    live = LSUNSource(env, output_size=64)
+    for i in range(len(packed)):
+        np.testing.assert_array_equal(packed[i], live.decode_u8(i))
+
+    cfg = Config(dataset="lsun", output_size=64, data_dir=str(tmp_path))
+    src = make_dataset(cfg)
+    assert isinstance(src, ArraySource)
+    b = src.batch(4, key=1)
+    assert b.shape == (4, 64, 64, 3) and b.dtype == np.float32
+    u8 = src.batch_u8(4, key=1)
+    assert u8.dtype == np.uint8 and u8.shape == (4, 64, 64, 3)
+
+
+def test_pack_image_dir(tmp_path):
+    from PIL import Image
+
+    from smmdax.data.convert import pack_image_dir
+    rng = np.random.default_rng(3)
+    root = tmp_path / "imgs"
+    root.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 256, (70, 60, 3), dtype=np.uint8)
+                        ).save(root / f"{i}.png")
+    out = str(tmp_path / "packed.npy")
+    pack_image_dir(str(root), out, size=32, log_every=0)
+    arr = np.load(out)
+    assert arr.shape == (4, 32, 32, 3) and arr.dtype == np.uint8

@@ -102,3 +102,40 @@ def test_witness_penalty_nonnegative():
                                   critic(real), critic(fake),
                                   jax.random.PRNGKey(3))
     assert float(gp) >= 0.0
+
+
+def test_fuse_critic_batches_parity():
+    """fuse_critic_batches applies the critic once on concat(real, fake);
+    per-sample critics make this exactly equivalent — loss values and
+    parameter gradients must match the unfused path (f32)."""
+    import jax
+    import jax.numpy as jnp
+    from smmdax.configs import Config
+    from smmdax.losses import critic_loss, generator_loss
+
+    k1, k2, k3, kw = jax.random.split(jax.random.PRNGKey(0), 4)
+    real = jax.random.normal(k1, (12, 8, 8, 3))
+    fake = jax.random.normal(k2, (12, 8, 8, 3))
+    w0 = jax.random.normal(kw, (8 * 8 * 3, 16)) * 0.1
+
+    def make_critic(w):
+        return lambda x: jnp.tanh(x.reshape(x.shape[0], -1) @ w)
+
+    outs = {}
+    for fuse in (True, False):
+        cfg = Config(model="mmd", kernel="rq", gradient_penalty=1.0,
+                     gp_variant="two_sided", fuse_critic_batches=fuse)
+
+        def d_loss(w):
+            return critic_loss(cfg, make_critic(w), real, fake, k3)[0]
+
+        def g_loss(w):
+            return generator_loss(cfg, make_critic(w), real, fake)[0]
+
+        outs[fuse] = (d_loss(w0), jax.grad(d_loss)(w0), g_loss(w0))
+
+    import numpy as np
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(outs[True][2], outs[False][2], rtol=1e-6)
