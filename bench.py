@@ -141,7 +141,9 @@ def main() -> None:
     for _ in range(N_WINDOWS):
         t0 = time.time()
         for _ in range(STEPS_PER_WINDOW):
-            state, metrics = step(state, jnp.asarray(q.get()))
+            # bounded get: a dead producer must fail loudly, not hang
+            # the bench holding the one-process-at-a-time chip claim
+            state, metrics = step(state, jnp.asarray(q.get(timeout=120)))
         _ = [float(jnp.sum(x)) for x in jax.tree.leaves(state.d_params)[:3]]
         float(metrics["d_loss_mmd2"])
         elapsed = time.time() - t0

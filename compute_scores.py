@@ -55,34 +55,51 @@ def main(argv=None) -> None:
 
     real, fake = _load(args.real), _load(args.fake)
 
-    if args.extractor == "inception":
-        path = find_inception_weights(args.data_dir)
-        ext = InceptionFeatures(path or os.path.join(args.data_dir,
-                                                     "inception_v3.pt"))
-    elif args.extractor == "random_conv":
-        ext = RandomConvFeatures()
-    else:
-        ext = get_feature_extractor(args.data_dir)
+    # lazily built: precomputed-feature inputs must not require the
+    # Inception weights asset (and must not pay a pointless net load)
+    _ext = []
 
-    def to_features(arr: np.ndarray) -> np.ndarray:
+    def extractor():
+        if not _ext:
+            if args.extractor == "inception":
+                path = find_inception_weights(args.data_dir)
+                _ext.append(InceptionFeatures(
+                    path or os.path.join(args.data_dir, "inception_v3.pt")))
+            elif args.extractor == "random_conv":
+                _ext.append(RandomConvFeatures())
+            else:
+                _ext.append(get_feature_extractor(args.data_dir))
+        return _ext[0]
+
+    used = "precomputed"
+    fake_probs = None
+
+    def to_features(arr: np.ndarray, want_probs: bool = False) -> np.ndarray:
+        nonlocal used, fake_probs
         if arr.ndim == 2:          # already features
-            to_features.name = "precomputed"
             return arr.astype(np.float32)
-        to_features.name = ext.name
+        ext = extractor()
+        used = ext.name
+        if want_probs and hasattr(ext, "features_and_probs"):
+            feats, fake_probs = ext.features_and_probs(arr)  # one sweep
+            return feats
         return ext(arr)
 
-    to_features.name = "precomputed"
-    fr, ff = to_features(real), to_features(fake)
+    fr = to_features(real)
+    ff = to_features(fake, want_probs=True)
     fid = fid_from_features(fr, ff)
     kid, kid_std = kid_from_features(fr, ff,
                                      subset_size=min(args.subset_size, len(fr), len(ff)),
                                      n_subsets=args.n_subsets)
     print(f"FID: {fid:.4f}")
     print(f"KID: {kid:.6f} +- {kid_std:.6f}")
-    if fake.ndim == 4 and hasattr(ext, "probs"):
-        is_mean, is_std = inception_score(ext.probs(fake))
+    if fake_probs is None and fake.ndim == 4 and _ext \
+            and hasattr(_ext[0], "probs"):
+        fake_probs = _ext[0].probs(fake)
+    if fake_probs is not None:
+        is_mean, is_std = inception_score(fake_probs)
         print(f"IS: {is_mean:.4f} +- {is_std:.4f}")
-    print(f"(extractor: {to_features.name}, n_real={len(fr)}, n_fake={len(ff)})")
+    print(f"(extractor: {used}, n_real={len(fr)}, n_fake={len(ff)})")
 
 
 if __name__ == "__main__":

@@ -41,31 +41,52 @@ class CheckpointManager:
         """Overwrite the 'best so far' checkpoint (KID scheduler).
 
         ``meta`` (e.g. ``{"best_kid": ..., "best_step": ...}``) is
-        persisted alongside so a resumed run reconstructs the
-        scheduler's comparison state exactly — including the RNG key
-        the best snapshot was scored with (keyed by step).
+        written INSIDE the state directory before the directory swap,
+        so state and meta can never be observed mismatched, and a crash
+        at any point leaves a complete previous (state, meta) pair —
+        a resumed run reconstructs the scheduler's comparison state
+        exactly, including the RNG key the best snapshot was scored
+        with (keyed by step).
         """
+        import json
+        import shutil
         ckptr = ocp.StandardCheckpointer()
         path = os.path.join(self._best_dir, "state")
-        if os.path.exists(path):
-            import shutil
-            shutil.rmtree(path)
-        ckptr.save(path, state)
+        path_new, path_old = path + ".new", path + ".old"
+        for p in (path_new, path_old):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        ckptr.save(path_new, state)
         ckptr.wait_until_finished()
         if meta is not None:
-            import json
-            tmp = os.path.join(self._best_dir, "meta.json.tmp")
-            with open(tmp, "w") as f:
+            with open(os.path.join(path_new, "meta.json"), "w") as f:
                 json.dump(meta, f)
-            os.replace(tmp, os.path.join(self._best_dir, "meta.json"))
+        # near-atomic swap: at every instant either `state` or
+        # `state.old` is a complete pair (recovery in _best_state_dir)
+        if os.path.exists(path):
+            os.rename(path, path_old)
+        os.rename(path_new, path)
+        if os.path.exists(path_old):
+            shutil.rmtree(path_old)
+
+    def _best_state_dir(self) -> Optional[str]:
+        path = os.path.join(self._best_dir, "state")
+        if os.path.exists(path):
+            return path
+        if os.path.exists(path + ".old"):     # crashed mid-swap
+            return path + ".old"
+        return None
 
     def best_meta(self) -> Optional[dict]:
-        path = os.path.join(self._best_dir, "meta.json")
-        if not os.path.exists(path):
-            return None
         import json
-        with open(path) as f:
-            return json.load(f)
+        d = self._best_state_dir()
+        candidates = ([os.path.join(d, "meta.json")] if d else []) + [
+            os.path.join(self._best_dir, "meta.json")]   # legacy sidecar
+        for path in candidates:
+            if os.path.exists(path):
+                with open(path) as f:
+                    return json.load(f)
+        return None
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -80,8 +101,8 @@ class CheckpointManager:
                                  args=ocp.args.StandardRestore(abstract_state))
 
     def restore_best(self, abstract_state: TrainState) -> Optional[TrainState]:
-        path = os.path.join(self._best_dir, "state")
-        if not os.path.exists(path):
+        path = self._best_state_dir()
+        if path is None:
             return None
         return ocp.StandardCheckpointer().restore(
             path, target=abstract_state)

@@ -35,12 +35,17 @@ def pack_lsun(lmdb_path: str, out_path: str, size: int,
     n = len(src.reader) if limit is None else min(limit, len(src.reader))
     out = np.lib.format.open_memmap(out_path, mode="w+", dtype=np.uint8,
                                     shape=(n, size, size, 3))
-    done = 0
-    for i, arr in enumerate(src._pool.map(src.decode_u8, range(n))):
-        out[i] = arr
-        done += 1
-        if log_every and done % log_every == 0:
-            print(f"[smmdax.convert] {done}/{n}")
+    # chunked submission: Executor.map materializes one future per item
+    # up front, which at LSUN scale (~3M records) is multi-GB of host
+    # bookkeeping before the first write — bound the in-flight window
+    chunk = max(threads * 64, 512)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        for i, arr in enumerate(src._pool.map(src.decode_u8,
+                                              range(start, stop))):
+            out[start + i] = arr
+        if log_every and (stop % log_every < chunk or stop == n):
+            print(f"[smmdax.convert] {stop}/{n}")
     out.flush()
     return out_path
 

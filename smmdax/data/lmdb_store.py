@@ -267,6 +267,32 @@ def write_lmdb(path: str, items: Iterable[Tuple[bytes, bytes]],
         cur_bytes += sz
     flush_leaf()
 
+    def flush_branch(children) -> Tuple[bytes, int]:
+        """Write one branch page over [(node_key, child_pg, first_key)];
+        returns (representative first key, page number)."""
+        buf = bytearray(psize)
+        upper = psize
+        ptrs = []
+        body = []
+        for key, pg, _ in children:
+            sz = _node_size(len(key), 0, False)
+            upper -= sz
+            ptrs.append(upper)
+            node = _NODEHDR.pack(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
+                                 (pg >> 32) & 0xFFFF, len(key))
+            body.append((upper, node + key))
+        lower = PAGEHDRSZ + 2 * len(children)
+        if lower > upper:
+            raise LMDBFormatError("branch overflow (bug in fill accounting)")
+        pg = next_pg
+        _PGHDR.pack_into(buf, 0, pg, 0, P_BRANCH, lower, upper)
+        for i, p in enumerate(ptrs):
+            struct.pack_into("<H", buf, PAGEHDRSZ + 2 * i, p)
+        for off, raw in body:
+            buf[off: off + len(raw)] = raw
+        alloc(bytes(buf))
+        return children[0][2], pg
+
     depth = 1 if leaves else 0
     n_branch = 0
     if not leaves:
@@ -274,29 +300,31 @@ def write_lmdb(path: str, items: Iterable[Tuple[bytes, bytes]],
     elif len(leaves) == 1:
         root = leaves[0][1]
     else:
-        buf = bytearray(psize)
-        upper = psize
-        ptrs = []
-        body = []
-        for i, (first_key, pg) in enumerate(leaves):
-            key = b"" if i == 0 else first_key   # leftmost branch key empty
-            sz = _node_size(len(key), 0, False)
-            upper -= sz
-            ptrs.append(upper)
-            node = _NODEHDR.pack(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
-                                 (pg >> 32) & 0xFFFF, len(key))
-            body.append((upper, node + key))
-        lower = PAGEHDRSZ + 2 * len(leaves)
-        if lower > upper:
-            raise LMDBFormatError("too many leaves for one branch page")
-        root = next_pg
-        _PGHDR.pack_into(buf, 0, root, 0, P_BRANCH, lower, upper)
-        for i, p in enumerate(ptrs):
-            struct.pack_into("<H", buf, PAGEHDRSZ + 2 * i, p)
-        for off, raw in body:
-            buf[off: off + len(raw)] = raw
-        alloc(bytes(buf))
-        depth, n_branch = 2, 1
+        # build branch levels bottom-up until one root page holds the
+        # whole level (a single level caps out around 200 leaves at
+        # psize 4096 — LSUN-scale environments need several)
+        level = leaves                     # [(first_key, pgno)]
+        root = leaves[0][1]
+        while len(level) > 1:
+            next_level = []
+            cur: List[Tuple[bytes, int, bytes]] = []  # node_key, pg, first_key
+            cur_bytes = 0
+            for fk, pg in level:
+                key = b"" if not cur else fk   # leftmost branch key empty
+                sz = _node_size(len(key), 0, False)
+                if cur and PAGEHDRSZ + 2 * (len(cur) + 1) + cur_bytes + sz > psize:
+                    next_level.append(flush_branch(cur))
+                    n_branch += 1
+                    cur, cur_bytes = [], 0
+                    key = b""
+                    sz = _node_size(0, 0, False)
+                cur.append((key, pg, fk))
+                cur_bytes += sz
+            next_level.append(flush_branch(cur))
+            n_branch += 1
+            depth += 1
+            level = next_level
+        root = level[0][1]
 
     last_pg = next_pg - 1
 

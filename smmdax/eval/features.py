@@ -123,6 +123,10 @@ class InceptionFeatures:
         """Softmax class probabilities (for the Inception Score)."""
         return self._net.probs(np.asarray(images, np.float32))
 
+    def features_and_probs(self, images: Array):
+        """(pool3, probs) from one network sweep (scoring fast path)."""
+        return self._net.pool3_and_probs(np.asarray(images, np.float32))
+
 
 def find_inception_weights(data_dir: str = "./data") -> Optional[str]:
     """First existing Inception weight asset under data_dir, if any."""

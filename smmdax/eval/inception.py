@@ -29,7 +29,7 @@ exercised offline, today.
 from __future__ import annotations
 
 import os
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -158,7 +158,10 @@ def convert_torchvision_state_dict(state: Mapping[str, np.ndarray]) -> dict:
             "w": jnp.asarray((w * scale[:, None, None, None]).transpose(2, 3, 1, 0)),
             "b": jnp.asarray(beta - mean * scale),
         }
-    params["fc"] = {"w": jnp.asarray(arr("fc.weight").T),
+    fc_w = arr("fc.weight")                         # (n_classes, 2048):
+    if fc_w.ndim != 2 or fc_w.shape[1] != 2048:     # 1000 (torchvision) or
+        raise ValueError(f"fc.weight: bad shape {fc_w.shape}")  # 1008 (FID pb)
+    params["fc"] = {"w": jnp.asarray(fc_w.T),
                     "b": jnp.asarray(arr("fc.bias"))}
     return params
 
@@ -196,22 +199,40 @@ def _maxpool3s2(x: Array) -> Array:
                                  (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
 
 
-def _avgpool3s1p1(x: Array) -> Array:
+def _avgpool3s1p1(x: Array, count_include_pad: bool = True) -> Array:
     # torch F.avg_pool2d default count_include_pad=True: always divide
-    # by 9, padded zeros included (matters at the borders).
+    # by 9, padded zeros included (matters at the borders).  The frozen
+    # TF FID graph the reference lineage scored with EXCLUDES padding
+    # (pytorch-fid's FIDInception patch) — fid_semantics selects that.
     s = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
                               (1, 3, 3, 1), (1, 1, 1, 1),
                               [(0, 0), (1, 1), (1, 1), (0, 0)])
+    if not count_include_pad:
+        ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
+        counts = jax.lax.reduce_window(ones, jnp.zeros((), x.dtype),
+                                       jax.lax.add, (1, 3, 3, 1),
+                                       (1, 1, 1, 1),
+                                       [(0, 0), (1, 1), (1, 1), (0, 0)])
+        return s / counts
     return s / jnp.asarray(9, x.dtype)
 
 
-def _block_a(p: dict, prefix: str, x: Array) -> Array:
+def _maxpool3s1p1(x: Array) -> Array:
+    # the TF FID graph's Mixed_7c branch_pool is a MAX pool (pytorch-fid
+    # FIDInceptionE_2 patch)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 3, 3, 1), (1, 1, 1, 1),
+                                 [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+
+def _block_a(p: dict, prefix: str, x: Array, fid: bool = False) -> Array:
     b1 = _conv(p, f"{prefix}.branch1x1", x)
     b5 = _conv(p, f"{prefix}.branch5x5_2", _conv(p, f"{prefix}.branch5x5_1", x))
     b3 = _conv(p, f"{prefix}.branch3x3dbl_3",
                _conv(p, f"{prefix}.branch3x3dbl_2",
                      _conv(p, f"{prefix}.branch3x3dbl_1", x)))
-    bp = _conv(p, f"{prefix}.branch_pool", _avgpool3s1p1(x))
+    bp = _conv(p, f"{prefix}.branch_pool",
+               _avgpool3s1p1(x, count_include_pad=not fid))
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -223,7 +244,7 @@ def _block_b(p: dict, x: Array) -> Array:          # Mixed_6a
     return jnp.concatenate([b3, bd, _maxpool3s2(x)], axis=-1)
 
 
-def _block_c(p: dict, prefix: str, x: Array) -> Array:
+def _block_c(p: dict, prefix: str, x: Array, fid: bool = False) -> Array:
     b1 = _conv(p, f"{prefix}.branch1x1", x)
     b7 = x
     for i in (1, 2, 3):
@@ -231,7 +252,8 @@ def _block_c(p: dict, prefix: str, x: Array) -> Array:
     bd = x
     for i in (1, 2, 3, 4, 5):
         bd = _conv(p, f"{prefix}.branch7x7dbl_{i}", bd)
-    bp = _conv(p, f"{prefix}.branch_pool", _avgpool3s1p1(x))
+    bp = _conv(p, f"{prefix}.branch_pool",
+               _avgpool3s1p1(x, count_include_pad=not fid))
     return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -243,7 +265,8 @@ def _block_d(p: dict, x: Array) -> Array:          # Mixed_7a
     return jnp.concatenate([b3, b7, _maxpool3s2(x)], axis=-1)
 
 
-def _block_e(p: dict, prefix: str, x: Array) -> Array:
+def _block_e(p: dict, prefix: str, x: Array, fid: bool = False,
+             pool_max: bool = False) -> Array:
     b1 = _conv(p, f"{prefix}.branch1x1", x)
     b3 = _conv(p, f"{prefix}.branch3x3_1", x)
     b3 = jnp.concatenate([_conv(p, f"{prefix}.branch3x3_2a", b3),
@@ -252,7 +275,9 @@ def _block_e(p: dict, prefix: str, x: Array) -> Array:
                _conv(p, f"{prefix}.branch3x3dbl_1", x))
     bd = jnp.concatenate([_conv(p, f"{prefix}.branch3x3dbl_3a", bd),
                           _conv(p, f"{prefix}.branch3x3dbl_3b", bd)], axis=-1)
-    bp = _conv(p, f"{prefix}.branch_pool", _avgpool3s1p1(x))
+    pooled = (_maxpool3s1p1(x) if pool_max
+              else _avgpool3s1p1(x, count_include_pad=not fid))
+    bp = _conv(p, f"{prefix}.branch_pool", pooled)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -267,27 +292,37 @@ def transform_input(x: Array) -> Array:
 
 
 def forward(params: dict, x: Array, *,
-            apply_transform_input: bool = True) -> Tuple[Array, Array]:
+            apply_transform_input: bool = True,
+            fid_semantics: bool = False) -> Tuple[Array, Array]:
     """(N, 299, 299, 3) ImageNet-normalized NHWC -> (pool3, logits).
 
     pool3 is the 2048-d pre-fc global-average feature (FID/KID input);
-    logits are the 1000-way class scores (softmax -> Inception Score).
+    logits are the class scores (softmax -> Inception Score; 1000-way
+    for torchvision ImageNet weights, 1008 for the frozen TF FID graph).
+
+    ``fid_semantics``: reproduce the frozen TF graph the reference
+    lineage (and every published FID/KID number) scored with — branch
+    average pools exclude padding, and Mixed_7c's branch pool is a max
+    pool (the pytorch-fid FIDInception patches).  Use with a
+    pytorch-fid-format state dict for paper-comparable scores; leave
+    off for torchvision ImageNet weights.
     """
     if apply_transform_input:
         x = transform_input(x)
+    fid = fid_semantics
     for name in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3"):
         x = _conv(params, name, x)
     x = _maxpool3s2(x)
     x = _conv(params, "Conv2d_4a_3x3", _conv(params, "Conv2d_3b_1x1", x))
     x = _maxpool3s2(x)
     for prefix in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
-        x = _block_a(params, prefix, x)
+        x = _block_a(params, prefix, x, fid=fid)
     x = _block_b(params, x)
     for prefix in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
-        x = _block_c(params, prefix, x)
+        x = _block_c(params, prefix, x, fid=fid)
     x = _block_d(params, x)
-    for prefix in ("Mixed_7b", "Mixed_7c"):
-        x = _block_e(params, prefix, x)
+    x = _block_e(params, "Mixed_7b", x, fid=fid)
+    x = _block_e(params, "Mixed_7c", x, fid=fid, pool_max=fid)
     pool3 = jnp.mean(x, axis=(1, 2))                # adaptive avg pool (1,1)
     logits = pool3 @ params["fc"]["w"].astype(x.dtype) + params["fc"]["b"].astype(x.dtype)
     return pool3, logits
@@ -319,13 +354,20 @@ class InceptionV3:
     """
 
     def __init__(self, params: dict, batch: int = 64,
-                 dtype: jnp.dtype = jnp.float32):
+                 dtype: jnp.dtype = jnp.float32,
+                 fid_semantics: Optional[bool] = None):
         self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
         self.batch = batch
+        if fid_semantics is None:
+            # auto: a 1008-way fc IS the frozen TF FID graph (pytorch-fid
+            # weight port); torchvision ImageNet weights are 1000-way
+            fid_semantics = int(params["fc"]["w"].shape[1]) == 1008
+        self.fid_semantics = bool(fid_semantics)
 
         @jax.jit
         def _run(p, imgs):
-            return forward(p, preprocess(imgs.astype(dtype)))
+            return forward(p, preprocess(imgs.astype(dtype)),
+                           fid_semantics=self.fid_semantics)
         self._run = _run
 
     def _batched(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -346,17 +388,29 @@ class InceptionV3:
         return (np.concatenate(pools).astype(np.float32),
                 np.concatenate(logits).astype(np.float32))
 
+    @staticmethod
+    def _softmax(logits: np.ndarray) -> np.ndarray:
+        z = logits.astype(np.float64)
+        z -= z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return (e / e.sum(axis=1, keepdims=True)).astype(np.float32)
+
     def pool3(self, images: np.ndarray) -> np.ndarray:
         return self._batched(images)[0]
 
     def probs(self, images: np.ndarray) -> np.ndarray:
-        logits = self._batched(images)[1].astype(np.float64)
-        z = logits - logits.max(axis=1, keepdims=True)
-        e = np.exp(z)
-        return (e / e.sum(axis=1, keepdims=True)).astype(np.float32)
+        return self._softmax(self._batched(images)[1])
+
+    def pool3_and_probs(self, images: np.ndarray):
+        """Both heads from ONE forward sweep — scoring wants pool3 (for
+        FID/KID) and probs (for IS) of the same samples; running the
+        network twice would double interval cost."""
+        pool, logits = self._batched(images)
+        return pool, self._softmax(logits)
 
 
-def random_state_dict(seed: int = 0, include_aux: bool = True) -> Dict[str, np.ndarray]:
+def random_state_dict(seed: int = 0, include_aux: bool = True,
+                      num_classes: int = 1000) -> Dict[str, np.ndarray]:
     """Synthetic torchvision-schema state dict (random weights) for
     offline golden tests — exactly the keys/shapes torchvision's
     ``inception_v3(aux_logits=True)`` produces."""
@@ -382,8 +436,8 @@ def random_state_dict(seed: int = 0, include_aux: bool = True) -> Dict[str, np.n
     if include_aux:
         state.update(conv_bn("AuxLogits.conv0", 768, 128, (1, 1)))
         state.update(conv_bn("AuxLogits.conv1", 128, 768, (5, 5)))
-        state["AuxLogits.fc.weight"] = rng.normal(0, 0.01, (1000, 768)).astype(np.float32)
-        state["AuxLogits.fc.bias"] = np.zeros(1000, np.float32)
-    state["fc.weight"] = rng.normal(0, 0.02, (1000, 2048)).astype(np.float32)
-    state["fc.bias"] = np.zeros(1000, np.float32)
+        state["AuxLogits.fc.weight"] = rng.normal(0, 0.01, (num_classes, 768)).astype(np.float32)
+        state["AuxLogits.fc.bias"] = np.zeros(num_classes, np.float32)
+    state["fc.weight"] = rng.normal(0, 0.02, (num_classes, 2048)).astype(np.float32)
+    state["fc.bias"] = np.zeros(num_classes, np.float32)
     return state

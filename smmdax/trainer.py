@@ -81,7 +81,12 @@ class Trainer:
              else cfg.no_of_samples)
         rng = jax.random.PRNGKey(cfg.random_seed + step)
         fake = np.asarray(sample(cfg, self.state, rng, n))
-        fake_feats = self._extractor(fake)
+        fake_probs = None
+        if hasattr(self._extractor, "features_and_probs"):
+            # one network sweep serves FID/KID (pool3) and IS (probs)
+            fake_feats, fake_probs = self._extractor.features_and_probs(fake)
+        else:
+            fake_feats = self._extractor(fake)
         if self._real_feats is None:
             # fixed key: the scoring reference set is identical across
             # resumes (exact-resume extends to scheduler decisions)
@@ -104,17 +109,32 @@ class Trainer:
                                        + int(meta["best_step"])), n))
                 self._best_feats = self._extractor(best)
                 self._best_kid = float(meta["best_kid"])
+            elif best_state is not None:
+                # legacy best checkpoint without meta: we can't recover
+                # the original scoring RNG/KID, but we must NOT let the
+                # first post-resume score clobber a genuinely better
+                # snapshot — re-score the best snapshot now (fixed key)
+                # and keep it as the comparison state
+                best = np.asarray(sample(
+                    cfg, best_state, jax.random.PRNGKey(cfg.random_seed), n))
+                self._best_feats = self._extractor(best)
+                self._best_kid = kid_from_features(
+                    self._real_feats, self._best_feats,
+                    subset_size=min(cfg.score_subset_size, n),
+                    n_subsets=cfg.score_subsets)[0]
         fid = fid_from_features(self._real_feats, fake_feats)
         kid, kid_std = kid_from_features(
             self._real_feats, fake_feats,
             subset_size=min(cfg.score_subset_size, n),
             n_subsets=cfg.score_subsets)
         out = {"fid": fid, "kid": kid, "kid_std": kid_std}
-        if hasattr(self._extractor, "probs"):
+        if fake_probs is None and hasattr(self._extractor, "probs"):
+            fake_probs = self._extractor.probs(fake)
+        if fake_probs is not None:
             # Inception extractor: the reference logged IS alongside
             # FID/KID (SURVEY.md #10)
             from smmdax.eval import inception_score
-            is_mean, is_std = inception_score(self._extractor.probs(fake))
+            is_mean, is_std = inception_score(fake_probs)
             out["inception_score"] = is_mean
             out["inception_score_std"] = is_std
 

@@ -42,8 +42,9 @@ class BasicConv2d(nn.Module):
 
 
 class InceptionA(nn.Module):
-    def __init__(self, c_in, pool_features):
+    def __init__(self, c_in, pool_features, fid=False):
         super().__init__()
+        self.fid = fid
         self.branch1x1 = BasicConv2d(c_in, 64, kernel_size=1)
         self.branch5x5_1 = BasicConv2d(c_in, 48, kernel_size=1)
         self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
@@ -56,7 +57,11 @@ class InceptionA(nn.Module):
         b1 = self.branch1x1(x)
         b5 = self.branch5x5_2(self.branch5x5_1(x))
         b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
-        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        # fid: the frozen TF graph excludes padding from branch averages
+        # (the pytorch-fid FIDInceptionA patch)
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1,
+                                           padding=1,
+                                           count_include_pad=not self.fid))
         return torch.cat([b1, b5, b3, bp], 1)
 
 
@@ -75,8 +80,9 @@ class InceptionB(nn.Module):
 
 
 class InceptionC(nn.Module):
-    def __init__(self, c_in, c7):
+    def __init__(self, c_in, c7, fid=False):
         super().__init__()
+        self.fid = fid
         self.branch1x1 = BasicConv2d(c_in, 192, kernel_size=1)
         self.branch7x7_1 = BasicConv2d(c_in, c7, kernel_size=1)
         self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
@@ -93,7 +99,9 @@ class InceptionC(nn.Module):
         b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
         bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
             self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
-        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1,
+                                           padding=1,
+                                           count_include_pad=not self.fid))
         return torch.cat([b1, b7, bd, bp], 1)
 
 
@@ -115,8 +123,10 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
-    def __init__(self, c_in):
+    def __init__(self, c_in, fid=False, pool_max=False):
         super().__init__()
+        self.fid = fid
+        self.pool_max = pool_max
         self.branch1x1 = BasicConv2d(c_in, 320, kernel_size=1)
         self.branch3x3_1 = BasicConv2d(c_in, 384, kernel_size=1)
         self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
@@ -133,7 +143,14 @@ class InceptionE(nn.Module):
         b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
         bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
         bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
-        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        if self.pool_max:
+            # the TF FID graph's Mixed_7c uses a max pool here
+            # (pytorch-fid FIDInceptionE_2 patch)
+            pooled = F.max_pool2d(x, kernel_size=3, stride=1, padding=1)
+        else:
+            pooled = F.avg_pool2d(x, kernel_size=3, stride=1, padding=1,
+                                  count_include_pad=not self.fid)
+        bp = self.branch_pool(pooled)
         return torch.cat([b1, b3, bd, bp], 1)
 
 
@@ -153,25 +170,25 @@ class InceptionAux(nn.Module):
 class TorchInception3(nn.Module):
     """Oracle with torchvision's exact module names."""
 
-    def __init__(self, num_classes=1000):
+    def __init__(self, num_classes=1000, fid=False):
         super().__init__()
         self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
         self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
         self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
         self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
         self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
-        self.Mixed_5b = InceptionA(192, 32)
-        self.Mixed_5c = InceptionA(256, 64)
-        self.Mixed_5d = InceptionA(288, 64)
+        self.Mixed_5b = InceptionA(192, 32, fid=fid)
+        self.Mixed_5c = InceptionA(256, 64, fid=fid)
+        self.Mixed_5d = InceptionA(288, 64, fid=fid)
         self.Mixed_6a = InceptionB(288)
-        self.Mixed_6b = InceptionC(768, 128)
-        self.Mixed_6c = InceptionC(768, 160)
-        self.Mixed_6d = InceptionC(768, 160)
-        self.Mixed_6e = InceptionC(768, 192)
+        self.Mixed_6b = InceptionC(768, 128, fid=fid)
+        self.Mixed_6c = InceptionC(768, 160, fid=fid)
+        self.Mixed_6d = InceptionC(768, 160, fid=fid)
+        self.Mixed_6e = InceptionC(768, 192, fid=fid)
         self.AuxLogits = InceptionAux(768, num_classes)
         self.Mixed_7a = InceptionD(768)
-        self.Mixed_7b = InceptionE(1280)
-        self.Mixed_7c = InceptionE(2048)
+        self.Mixed_7b = InceptionE(1280, fid=fid)
+        self.Mixed_7c = InceptionE(2048, fid=fid, pool_max=fid)
         self.fc = nn.Linear(2048, num_classes)
 
     def forward(self, x):
@@ -280,3 +297,43 @@ def test_extractor_and_inception_score_reachable(tmp_path):
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
     mean_is, std_is = inception_score(probs, n_splits=2)
     assert mean_is >= 1.0 - 1e-6
+
+
+def test_fid_semantics_matches_torch_oracle():
+    """fid_semantics reproduces the frozen TF FID graph's pooling
+    (padding-excluded branch averages; Mixed_7c max pool) and the
+    1008-way fc of the pytorch-fid weight port."""
+    state = jinc.random_state_dict(seed=13, num_classes=1008)
+    model = TorchInception3(num_classes=1008, fid=True)
+    model.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                           for k, v in state.items()}, strict=True)
+    model.eval()
+    params = jinc.convert_torchvision_state_dict(state)
+    assert params["fc"]["w"].shape == (2048, 1008)
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1.5, 1.5, (2, 299, 299, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_pool, t_logits = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_pool, j_logits = jinc.forward(params, np.asarray(x),
+                                    apply_transform_input=False,
+                                    fid_semantics=True)
+    np.testing.assert_allclose(np.asarray(j_pool), t_pool.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    # and it differs from the torchvision semantics (the patches bite)
+    j_pool_tv, _ = jinc.forward(params, np.asarray(x),
+                                apply_transform_input=False,
+                                fid_semantics=False)
+    assert not np.allclose(np.asarray(j_pool_tv), np.asarray(j_pool),
+                           rtol=1e-3, atol=1e-3)
+
+
+def test_fid_semantics_autodetected_from_fc_width():
+    p1000 = jinc.convert_torchvision_state_dict(
+        jinc.random_state_dict(seed=1, include_aux=False))
+    p1008 = jinc.convert_torchvision_state_dict(
+        jinc.random_state_dict(seed=1, include_aux=False, num_classes=1008))
+    assert jinc.InceptionV3(p1000, batch=1).fid_semantics is False
+    assert jinc.InceptionV3(p1008, batch=1).fid_semantics is True

@@ -156,3 +156,16 @@ def test_pack_image_dir(tmp_path):
     pack_image_dir(str(root), out, size=32, log_every=0)
     arr = np.load(out)
     assert arr.shape == (4, 32, 32, 3) and arr.dtype == np.uint8
+
+
+def test_roundtrip_deep_branch_tree(tmp_path):
+    """Multiple branch LEVELS (small psize forces ~24 entries/leaf and
+    ~27 refs/branch): LSUN-scale trees are deeper than one branch page."""
+    items = {f"k{i:06d}".encode(): bytes([i % 256]) * 3 for i in range(2000)}
+    write_lmdb(str(tmp_path / "env"), items.items(), psize=512)
+    r = LMDBReader(str(tmp_path / "env"))
+    assert len(r) == 2000
+    assert dict(r.items()) == items
+    keys = [r.key(i) for i in range(len(r))]
+    assert keys == sorted(keys)
+    r.close()

@@ -196,3 +196,35 @@ def test_inloop_inception_score_logged_when_probs_available(tmp_path):
     out = t._score(1)
     assert "inception_score" in out and out["inception_score"] >= 1.0 - 1e-6
     assert "fid" in out and "kid" in out
+
+
+def test_resume_with_legacy_best_checkpoint_no_meta(tmp_path):
+    """A best checkpoint saved without the meta sidecar (pre-round-2
+    format) must not be clobbered on resume: the scheduler re-scores the
+    best snapshot instead of treating the current state as best."""
+    import glob
+    import os as _os
+
+    kw = dict(dataset="synthetic", architecture="dcgan", output_size=32,
+              gf_dim=8, df_dim=8, compute_scores=True, score_every=1,
+              no_of_samples=64, score_subset_size=64, score_subsets=4,
+              MMD_lr_scheduler=True, checkpoint_every=2, max_iteration=2)
+    cfg = _cfg(str(tmp_path), **kw)
+    t = Trainer(cfg)
+    t.train()
+    assert t._best_feats is not None
+
+    # strip the meta (both the in-dir copy and any legacy sidecar)
+    for p in glob.glob(_os.path.join(cfg.checkpoint_dir, cfg.run_name(),
+                                     "best", "**", "meta.json"),
+                       recursive=True):
+        _os.remove(p)
+
+    t2 = Trainer(cfg)                      # resumes from step 2
+    assert int(t2.state.step) == 2
+    assert t2.ckpt.best_meta() is None
+    out = t2._score(int(t2.state.step))
+    # the fallback rebuilt the comparison state from the stored best
+    assert t2._best_feats is not None
+    assert np.isfinite(t2._best_kid)
+    assert "fid" in out
