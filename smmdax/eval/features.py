@@ -104,7 +104,8 @@ class InceptionFeatures:
     name = "inception_v3"
     feature_dim = 2048
 
-    def __init__(self, weights_path: str, batch: int = 64):
+    def __init__(self, weights_path: str, batch: int = 64,
+                 fid_semantics: Optional[bool] = None):
         if not os.path.exists(weights_path):
             raise FileNotFoundError(
                 f"Inception weights not found at {weights_path}. This "
@@ -113,7 +114,10 @@ class InceptionFeatures:
                 "enable Inception-based FID/KID/IS (scores fall back to "
                 "RandomConvFeatures otherwise).")
         from smmdax.eval.inception import InceptionV3, load_params
-        self._net = InceptionV3(load_params(weights_path), batch=batch)
+        # fid_semantics None = auto-detect: 1008-way fc means the frozen
+        # TF FID graph port (padding-excluded pools, Mixed_7c max pool)
+        self._net = InceptionV3(load_params(weights_path), batch=batch,
+                                fid_semantics=fid_semantics)
         self.batch = batch
 
     def __call__(self, images: Array) -> Array:

@@ -287,7 +287,8 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
             from smmdax.parallel.ring import ring_mmd2_and_ratio
             mmd2_val, objective = ring_mmd2_and_ratio(
                 f_fake, f_real, axis_name, cfg.kernel,
-                rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+                rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
+                use_pallas=_pallas(cfg, f_fake, f_real))
         else:
             # dense path: the variance estimator over full Gram blocks
             blocks = _blocks(cfg, _gather(f_fake, axis_name),

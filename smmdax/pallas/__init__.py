@@ -12,6 +12,7 @@ everything here is tested against it (SURVEY.md §7 step 5).
 from smmdax.pallas.dispatch import should_use_pallas  # noqa: F401
 from smmdax.pallas.mmd_kernel import (  # noqa: F401
     make_fused_mmd_sums,
+    make_pair_stats,
     make_pair_sum,
     fused_mmd2,
 )

@@ -248,6 +248,199 @@ def fused_mmd2(x: Array, y: Array, kernel: str = "rq",
             - 2.0 * s_xy / (m * n))
 
 
+# ---------------------------------------------------------------------------
+# pair stats: fused (row sums, col sums, sum of squares) for the ring
+# t-ratio estimator (Sutherland variance needs per-row/col sums and
+# squared-entry sums of every Gram block — computing them fused keeps
+# the tmmd model Gram-free too)
+
+
+def _stats_kernel(a_ref, b_ref, rows_ref, cols_ref, sq_ref, *, kernel,
+                  params, m, n, tm, tn, exclude_diag):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    a = a_ref[...]
+    b = b_ref[...]
+    d2 = (jnp.sum(a * a, axis=1, keepdims=True)
+          + jnp.sum(b * b, axis=1, keepdims=True).T
+          - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32))
+    d2 = jnp.maximum(d2, 0.0)
+    k = _mixture_k(d2, kernel, params)
+    rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0) + i * tm
+    cols = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) + j * tn
+    mask = (rows < m) & (cols < n)
+    if exclude_diag:
+        mask &= rows != cols
+    k = jnp.where(mask, k, 0.0)
+
+    # accumulator layout: lane 0 of a (x, 128) buffer carries the sums
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1) == 0
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (tn, 128), 1) == 0
+    row_part = jnp.where(lane_r, jnp.sum(k, axis=1)[:, None], 0.0)
+    col_part = jnp.where(lane_c, jnp.sum(k, axis=0)[:, None], 0.0)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        sq_ref[0, 0] = jnp.float32(0.0)
+
+    @pl.when(j == 0)
+    def _():
+        rows_ref[...] = row_part
+
+    @pl.when(j != 0)
+    def _():
+        rows_ref[...] += row_part
+
+    @pl.when(i == 0)
+    def _():
+        cols_ref[...] = col_part
+
+    @pl.when(i != 0)
+    def _():
+        cols_ref[...] += col_part
+
+    sq_ref[0, 0] += jnp.sum(k * k)
+
+
+def _pair_stats_fwd(a: Array, b: Array, kernel: str, params,
+                    exclude_diag: bool, tm: int = 256, tn: int = 512):
+    m, d = a.shape
+    n, _ = b.shape
+    tm = min(tm, _round_up(m, 8))
+    tn = min(tn, _round_up(n, 128))
+    mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
+    ap = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
+    bp = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
+    rows, cols, sq = pl.pallas_call(
+        functools.partial(_stats_kernel, kernel=kernel, params=tuple(params),
+                          m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
+        grid=(mp // tm, np_ // tn),
+        in_specs=[
+            pl.BlockSpec((tm, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(ap, bp)
+    return rows[:m, 0], cols[:n, 0], sq[0, 0]
+
+
+def _stats_bwd_kernel(a_ref, b_ref, u_ref, v_ref, csq_ref, da_ref, *,
+                      kernel, params, m, n, tm, tn, exclude_diag):
+    """da of S = sum_i u_i row_i + sum_j v_j col_j + c_sq sum k^2:
+    da_i = 2 sum_j (u_i + v_j + 2 c_sq k_ij) g_ij (a_i - b_j)  [without
+    the leading 2 — the wrapper folds pair factors]."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    a = a_ref[...]
+    b = b_ref[...]
+    d2 = (jnp.sum(a * a, axis=1, keepdims=True)
+          + jnp.sum(b * b, axis=1, keepdims=True).T
+          - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32))
+    d2 = jnp.maximum(d2, 0.0)
+    k = _mixture_k(d2, kernel, params)
+    g = _mixture_g(d2, kernel, params)
+    rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + i * tm
+    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1) + j * tn
+    mask = (rows < m) & (cols < n)
+    if exclude_diag:
+        mask &= rows != cols
+    u = u_ref[...][:, 0:1]                      # (TM, 1)
+    v = v_ref[...][:, 0:1].T                    # (1, TN)
+    csq = csq_ref[0, 0]
+    t = jnp.where(mask, (u + v + 2.0 * csq * k) * g, 0.0)
+    part = jnp.sum(t, axis=1, keepdims=True) * a \
+        - jnp.dot(t, b, preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        da_ref[...] = part
+
+    @pl.when(j != 0)
+    def _():
+        da_ref[...] += part
+
+
+def _pair_stats_grad_a(a: Array, b: Array, u: Array, v: Array, c_sq: Array,
+                       kernel: str, params, exclude_diag: bool,
+                       tm: int = 256, tn: int = 512) -> Array:
+    m, d = a.shape
+    n, _ = b.shape
+    tm = min(tm, _round_up(m, 8))
+    tn = min(tn, _round_up(n, 128))
+    mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
+    ap = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
+    bp = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
+    up = jnp.zeros((mp, 128), jnp.float32).at[:m, 0].set(
+        u.astype(jnp.float32))
+    vp = jnp.zeros((np_, 128), jnp.float32).at[:n, 0].set(
+        v.astype(jnp.float32))
+    csq = jnp.reshape(c_sq.astype(jnp.float32), (1, 1))
+    da = pl.pallas_call(
+        functools.partial(_stats_bwd_kernel, kernel=kernel,
+                          params=tuple(params), m=m, n=n, tm=tm, tn=tn,
+                          exclude_diag=exclude_diag),
+        grid=(mp // tm, np_ // tn),
+        in_specs=[
+            pl.BlockSpec((tm, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, dp), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, dp), jnp.float32),
+        interpret=_INTERPRET,
+    )(ap, bp, up, vp, csq)
+    return da[:m, :d]
+
+
+def make_pair_stats(kernel: str, params: Sequence[float], exclude_diag: bool):
+    """Differentiable fused block statistics:
+
+        pair_stats(a, b) -> (row_sums (m,), col_sums (n,), sum_sq ())
+
+    of the masked mixture Gram block k(a_i, b_j) — everything the
+    Sutherland variance estimator needs per ring rotation, with O(tile)
+    VMEM and no (m, n) materialization.  The VJP runs the same tiling
+    with the cotangents riding lane 0 of (x, 128) buffers:
+
+        dS/da_i = 2 sum_j (u_i + v_j + 2 c k_ij) g_ij (a_i - b_j)
+
+    (u, v, c the cotangents of rows/cols/sum_sq; g = dk/d(d2); the
+    factor 2 from d(d2)/da folded in the wrapper)."""
+    params = tuple(float(p) for p in params)
+
+    @jax.custom_vjp
+    def pair_stats(a, b):
+        return _pair_stats_fwd(a, b, kernel, params, exclude_diag)
+
+    def fwd(a, b):
+        return pair_stats(a, b), (a, b)
+
+    def bwd(res, cots):
+        a, b = res
+        u, v, c_sq = cots
+        da = 2.0 * _pair_stats_grad_a(a, b, u, v, c_sq, kernel, params,
+                                      exclude_diag)
+        db = 2.0 * _pair_stats_grad_a(b, a, v, u, c_sq, kernel, params,
+                                      exclude_diag)
+        return da, db
+
+    pair_stats.defvjp(fwd, bwd)
+    return pair_stats
+
+
 def make_pair_sum(kernel: str, params: Sequence[float], exclude_diag: bool):
     """Differentiable fused S(a, b) = sum_{ij} mask * k(d2(a_i, b_j)).
 

@@ -125,6 +125,7 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
                    kernel: str = "rq",
                    rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
                    rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
+                   use_pallas: bool = False,
                    ) -> VarStats:
     """Global t-ratio sufficient statistics from per-shard features.
 
@@ -157,6 +158,25 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
         return kernel_cross(kernel, a, c,
                             rbf_sigmas=rbf_sigmas, rq_alphas=rq_alphas)
 
+    if use_pallas and kernel in ("gaussian", "rq"):
+        # fused block statistics: row/col sums + sum of squares straight
+        # from VMEM tiles, the (b, b) Gram block never hits HBM; the
+        # masked diagonal exclusion replaces the constant subtraction
+        from smmdax.pallas import make_pair_stats
+        kp = rbf_sigmas if kernel == "gaussian" else rq_alphas
+        stats_own = make_pair_stats(kernel, kp, exclude_diag=True)
+        stats_off = make_pair_stats(kernel, kp, exclude_diag=False)
+
+        def block_stats(a, c, own):
+            return (stats_own if own else stats_off)(a, c)
+    else:
+        def block_stats(a, c, own):
+            k = cross(a, c)
+            rows = jnp.sum(k, axis=1) - (diag if own else 0.0)
+            cols = jnp.sum(k, axis=0) - (diag if own else 0.0)
+            sq = jnp.sum(k * k) - (a.shape[0] * diag * diag if own else 0.0)
+            return rows, cols, sq
+
     zero = jnp.float32(0.0)
     zrow = jnp.zeros((b,), jnp.float32)
     x_buf, y_buf = x_loc, y_loc
@@ -168,17 +188,17 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
     # compile-time constants, and XLA can overlap ppermute with the
     # next block's compute
     for t in range(n_shards):
-        k_xx = cross(x_loc, x_buf)
-        k_yy = cross(y_loc, y_buf)
-        k_xy = cross(x_loc, y_buf)
         own = t == 0
-        xx_rows = xx_rows + jnp.sum(k_xx, axis=1) - (diag if own else 0.0)
-        yy_rows = yy_rows + jnp.sum(k_yy, axis=1) - (diag if own else 0.0)
-        kxx2 = kxx2 + jnp.sum(k_xx * k_xx) - (b * diag * diag if own else 0.0)
-        kyy2 = kyy2 + jnp.sum(k_yy * k_yy) - (b * diag * diag if own else 0.0)
-        xy_rows = xy_rows + jnp.sum(k_xy, axis=1)
-        xy_cols = xy_cols + jnp.sum(k_xy, axis=0)
-        kxy2 = kxy2 + jnp.sum(k_xy * k_xy)
+        r_xx, _, s_xx = block_stats(x_loc, x_buf, own)
+        r_yy, _, s_yy = block_stats(y_loc, y_buf, own)
+        r_xy, c_xy, s_xy = block_stats(x_loc, y_buf, False)
+        xx_rows = xx_rows + r_xx
+        yy_rows = yy_rows + r_yy
+        kxx2 = kxx2 + s_xx
+        kyy2 = kyy2 + s_yy
+        xy_rows = xy_rows + r_xy
+        xy_cols = xy_cols + c_xy
+        kxy2 = kxy2 + s_xy
         x_buf = jax.lax.ppermute(x_buf, axis_name, perm)
         y_buf = jax.lax.ppermute(y_buf, axis_name, perm)
         xy_cols = jax.lax.ppermute(xy_cols, axis_name, perm)
@@ -214,12 +234,13 @@ def ring_mmd2_and_ratio(x_loc: Array, y_loc: Array, axis_name: str,
                         rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
                         rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
                         min_var_est: float = 1e-8,
+                        use_pallas: bool = False,
                         ) -> Tuple[Array, Array]:
     """Global-batch (MMD^2, t-ratio) from per-shard features — the ring
     analog of ``smmdax.kernels.mmd.mmd2_and_ratio`` (tmmd model under
     data parallelism without gathering dense Gram blocks)."""
     stats = ring_var_stats(x_loc, y_loc, axis_name, kernel,
-                           rbf_sigmas, rq_alphas)
+                           rbf_sigmas, rq_alphas, use_pallas=use_pallas)
     val, var = mmd2_and_variance_from_stats(stats, biased=False)
     ratio = val / jnp.sqrt(jnp.maximum(var, min_var_est))
     return val, ratio

@@ -142,3 +142,107 @@ def test_ring_ratio_matches_global(kernel):
                                rtol=1e-3, atol=2e-5)
     np.testing.assert_allclose(np.asarray(gy_r), np.asarray(gy_g),
                                rtol=1e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "rq"])
+def test_pair_stats_matches_dense(kernel):
+    """Fused pair-stats (row sums / col sums / sum-of-squares) == dense
+    oracle, value AND gradient, with and without diagonal exclusion."""
+    import smmdax.pallas.mmd_kernel as pk
+    from smmdax.pallas import make_pair_stats
+
+    old = pk._INTERPRET
+    pk._INTERPRET = True
+    try:
+        params = (1.0, 2.0, 4.0, 8.0, 16.0) if kernel == "gaussian" \
+            else (0.2, 0.5, 1.0, 2.0, 5.0)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        a = jax.random.normal(k1, (48, 8)) * 0.7
+        b = jax.random.normal(k2, (40, 8)) * 0.7 + 0.2
+
+        for excl, bb in ((False, b), (True, a)):
+            stats = make_pair_stats(kernel, params, exclude_diag=excl)
+            rows, cols, sq = stats(a, bb)
+            kmat = kernel_matrices(kernel, a, bb, rbf_sigmas=params,
+                                   rq_alphas=params).k_xy
+            if excl:
+                kmat = kmat - jnp.diag(jnp.diag(kmat))
+            np.testing.assert_allclose(np.asarray(rows),
+                                       np.asarray(jnp.sum(kmat, 1)),
+                                       rtol=2e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(cols),
+                                       np.asarray(jnp.sum(kmat, 0)),
+                                       rtol=2e-4, atol=1e-5)
+            assert float(sq) == pytest.approx(float(jnp.sum(kmat * kmat)),
+                                              rel=2e-4)
+
+            # gradient of a generic functional of the stats
+            ku1, ku2 = jax.random.split(jax.random.PRNGKey(7))
+            u = jax.random.normal(ku1, (a.shape[0],))
+            v = jax.random.normal(ku2, (bb.shape[0],))
+
+            def loss_fused(aa, cc):
+                r, c, s = stats(aa, cc)
+                return jnp.dot(u, r) + jnp.dot(v, c) + 0.3 * s
+
+            def loss_dense(aa, cc):
+                km = kernel_matrices(kernel, aa, cc, rbf_sigmas=params,
+                                     rq_alphas=params).k_xy
+                if excl:
+                    km = km - jnp.diag(jnp.diag(km))
+                return (jnp.dot(u, jnp.sum(km, 1)) + jnp.dot(v, jnp.sum(km, 0))
+                        + 0.3 * jnp.sum(km * km))
+
+            gf = jax.grad(loss_fused, argnums=(0, 1))(a, bb)
+            gd = jax.grad(loss_dense, argnums=(0, 1))(a, bb)
+            for f, d in zip(gf, gd):
+                np.testing.assert_allclose(np.asarray(f), np.asarray(d),
+                                           rtol=5e-4, atol=1e-5)
+    finally:
+        pk._INTERPRET = old
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "rq"])
+def test_ring_ratio_with_pallas_stats_matches_global(kernel):
+    """Ring t-ratio through the fused pair-stats kernel == dense
+    single-device estimator, value + grad (tmmd under DP, Gram-free)."""
+    import smmdax.pallas.mmd_kernel as pk
+    from smmdax.kernels import mmd2_and_ratio
+    from smmdax.parallel.ring import ring_mmd2_and_ratio
+
+    old = pk._INTERPRET
+    pk._INTERPRET = True
+    try:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+        x = jax.random.normal(k1, (64, 16)) * 0.6
+        y = jax.random.normal(k2, (64, 16)) * 0.6 + 0.4
+        mesh = _mesh()
+
+        ring = shard_map(
+            functools.partial(ring_mmd2_and_ratio, axis_name="data",
+                              kernel=kernel, use_pallas=True),
+            mesh=mesh, in_specs=(P("data"), P("data")), out_specs=(P(), P()),
+            check_rep=False)
+        got_val, got_ratio = jax.jit(ring)(x, y)
+        want_val, want_ratio = mmd2_and_ratio(kernel_matrices(kernel, x, y))
+        assert float(got_val) == pytest.approx(float(want_val),
+                                               rel=2e-4, abs=1e-6)
+        assert float(got_ratio) == pytest.approx(float(want_ratio),
+                                                 rel=5e-4, abs=1e-6)
+
+        def ratio_of(a, b2):
+            return ring(a, b2)[1]
+
+        gx_r, gy_r = jax.jit(jax.grad(ratio_of, argnums=(0, 1)))(x, y)
+        gx_g, gy_g = jax.grad(
+            lambda a, b2: mmd2_and_ratio(kernel_matrices(kernel, a, b2))[1],
+            argnums=(0, 1))(x, y)
+        # scale-aware: the f32 variance estimator's tiny-gradient entries
+        # carry summation-order noise; what matters is error relative to
+        # the gradient's magnitude (verified 3e-4 of scale vs f64)
+        for got, want in ((gx_r, gx_g), (gy_r, gy_g)):
+            scale = float(jnp.max(jnp.abs(want)))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=5e-3, atol=2e-3 * scale)
+    finally:
+        pk._INTERPRET = old
