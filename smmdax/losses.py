@@ -33,6 +33,7 @@ from smmdax.configs import Config
 from smmdax.kernels import (KernelBlocks, kernel_cross, kernel_matrices,
                             mmd2, mmd2_and_ratio)
 from smmdax.kernels.smmd import smmd_scale
+from smmdax.parallel.ring import RING_KERNELS
 
 Array = jnp.ndarray
 Critic = Callable[[Array], Array]          # images -> (B, dof_dim) features
@@ -117,7 +118,7 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
         else:
             local = mmd2(_blocks(cfg, f_fake, f_real))
         return jax.lax.pmean(local, axis_name)
-    if axis_name is not None and cfg.use_ring_mmd and cfg.kernel in ("gaussian", "rq"):
+    if axis_name is not None and cfg.use_ring_mmd and cfg.kernel in RING_KERNELS:
         from smmdax.parallel.ring import ring_mmd2
         # the ring's pair sums see (local_b, local_b) blocks
         return ring_mmd2(f_fake, f_real, axis_name, cfg.kernel,
@@ -280,7 +281,7 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
 
     if cfg.model == "tmmd":
         if (axis_name is not None and cfg.use_ring_mmd
-                and cfg.kernel in ("gaussian", "rq")):
+                and cfg.kernel in RING_KERNELS):
             # ring-form variance estimator: the Sutherland formula is
             # all row-sums / squared sums, psum-able over block rows —
             # no dense global Gram needed (SURVEY.md §7 hard-part #3)

@@ -27,7 +27,7 @@ import jax
 # Overridable per-config via ``pallas_min_rows``.
 DEFAULT_MIN_ROWS = 4096
 
-_PALLAS_KERNELS = ("gaussian", "rq")
+_PALLAS_KERNELS = ("gaussian", "rq", "distance")
 
 
 def should_use_pallas(mode: Union[str, bool], kernel: str, m: int, n: int,

@@ -45,6 +45,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_DIST_EPS = 1e-8   # matches smmdax.kernels.kernels.distance_kernel
+
+
 def _mixture_k(d2, kernel: str, params: Sequence[float]):
     k = jnp.zeros_like(d2)
     if kernel == "gaussian":
@@ -54,6 +57,9 @@ def _mixture_k(d2, kernel: str, params: Sequence[float]):
         for a in params:
             a = float(a)
             k += jnp.exp(-a * jnp.log1p(d2 / (2.0 * a)))
+    elif kernel == "distance":
+        # energy-distance kernel k = -||x - y|| (params unused)
+        k = -jnp.sqrt(d2 + _DIST_EPS)
     else:
         raise ValueError(kernel)
     return k
@@ -70,9 +76,20 @@ def _mixture_g(d2, kernel: str, params: Sequence[float]):
         for a in params:
             a = float(a)
             g += -0.5 * jnp.exp(-(a + 1.0) * jnp.log1p(d2 / (2.0 * a)))
+    elif kernel == "distance":
+        g = -0.5 / jnp.sqrt(d2 + _DIST_EPS)
     else:
         raise ValueError(kernel)
     return g
+
+
+def kernel_diag(kernel: str, params: Sequence[float]) -> float:
+    """The constant k(x, x) of the supported kernels."""
+    if kernel in ("gaussian", "rq"):
+        return float(len(params))
+    if kernel == "distance":
+        return -float(_DIST_EPS) ** 0.5
+    raise ValueError(kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -240,7 +257,7 @@ def fused_mmd2(x: Array, y: Array, kernel: str = "rq",
     sums = make_fused_mmd_sums(kernel, params)(x, y)
     s_xx, s_yy, s_xy = sums
     if biased:
-        k_diag = float(len(params))
+        k_diag = kernel_diag(kernel, params)
         return ((s_xx + x.shape[0] * k_diag) / (m * m)
                 + (s_yy + y.shape[0] * k_diag) / (n * n)
                 - 2.0 * s_xy / (m * n))

@@ -28,10 +28,14 @@ from smmdax.kernels.mmd import (MMDSums, VarStats, mmd2_and_variance_from_stats,
 
 Array = jnp.ndarray
 
+# Constant-diagonal kernels the ring estimators (and their fused Pallas
+# block paths) support; dot is excluded (data-dependent diagonal).
+RING_KERNELS = ("gaussian", "rq", "distance")
+
 
 def _block_sum(name: str, a: Array, b: Array, exclude_diag: bool,
                rbf_sigmas, rq_alphas, use_pallas: bool = False) -> Array:
-    if use_pallas and name in ("gaussian", "rq"):
+    if use_pallas and name in RING_KERNELS:
         from smmdax.pallas import make_pair_sum
         params = rbf_sigmas if name == "gaussian" else rq_alphas
         return make_pair_sum(name, params, exclude_diag)(a, b)
@@ -117,6 +121,9 @@ def _const_diag(kernel: str, rbf_sigmas, rq_alphas) -> float:
         return float(len(rbf_sigmas))
     if kernel == "rq":
         return float(len(rq_alphas))
+    if kernel == "distance":
+        from smmdax.pallas.mmd_kernel import kernel_diag
+        return kernel_diag("distance", ())
     raise ValueError(
         f"ring estimators need a constant-diagonal kernel, got {kernel!r}")
 
@@ -158,7 +165,7 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
         return kernel_cross(kernel, a, c,
                             rbf_sigmas=rbf_sigmas, rq_alphas=rq_alphas)
 
-    if use_pallas and kernel in ("gaussian", "rq"):
+    if use_pallas and kernel in RING_KERNELS:
         # fused block statistics: row/col sums + sum of squares straight
         # from VMEM tiles, the (b, b) Gram block never hits HBM; the
         # masked diagonal exclusion replaces the constant subtraction

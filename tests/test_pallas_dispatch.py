@@ -35,11 +35,12 @@ def test_auto_uses_size_crossover_on_accelerators():
     assert not should_use_pallas("auto", "rq", 10**6, 10**6, platform="cpu")
 
 
-def test_non_mixture_kernels_never_dispatch():
+def test_unsupported_kernels_never_dispatch():
+    # dot has a data-dependent diagonal and no fused path; distance IS
+    # supported (energy-distance, constant diagonal)
     for mode in ("on", "auto"):
         assert not should_use_pallas(mode, "dot", 10**6, 10**6, platform="tpu")
-        assert not should_use_pallas(mode, "distance", 10**6, 10**6,
-                                     platform="tpu")
+    assert should_use_pallas("on", "distance", 64, 64, platform="tpu")
 
 
 def test_unknown_mode_raises():
