@@ -50,21 +50,39 @@ def main(argv=None) -> None:
         save_images(imgs[:64], os.path.join(out, "samples.png"))
         np.save(os.path.join(out, "samples.npy"), imgs)
         print(f"[smmdax] wrote {n} samples to {out}")
+        if cfg.visualize:
+            # latent interpolation grid (the reference lineage's
+            # visualize() option): each row walks z linearly between two
+            # endpoints — a qualitative check that the generator's
+            # latent space is smooth, not memorized
+            from smmdax.train import interpolate
+            grid = np.asarray(interpolate(
+                cfg, state, jax.random.PRNGKey(cfg.random_seed + 1),
+                rows=8, cols=8))
+            save_images(grid, os.path.join(out, "interpolation.png"), nrow=8)
+            print(f"[smmdax] wrote latent interpolation grid to {out}")
 
     if cfg.compute_scores:
         from smmdax.eval import (fid_from_features, get_feature_extractor,
-                                 kid_from_features)
+                                 inception_score, kid_from_features)
         from smmdax.data import make_dataset
         extractor = get_feature_extractor(cfg.data_dir)
         source = make_dataset(cfg)
         real = source.batch(min(cfg.no_of_samples, 5000))
         fr = extractor(real)
-        ff = extractor(imgs)
+        if hasattr(extractor, "features_and_probs"):
+            ff, probs = extractor.features_and_probs(imgs)
+        else:
+            ff, probs = extractor(imgs), None
         fid = fid_from_features(fr, ff)
         kid, kid_std = kid_from_features(fr, ff,
                                          subset_size=min(1000, len(ff)))
-        print(f"[smmdax] FID={fid:.3f} KID={kid:.5f} (+-{kid_std:.5f}) "
-              f"[extractor={extractor.name}]")
+        line = (f"[smmdax] FID={fid:.3f} KID={kid:.5f} (+-{kid_std:.5f}) "
+                f"[extractor={extractor.name}]")
+        if probs is not None:
+            is_mean, is_std = inception_score(probs)
+            line += f" IS={is_mean:.3f} (+-{is_std:.3f})"
+        print(line)
 
 
 if __name__ == "__main__":

@@ -361,3 +361,21 @@ def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
         z = jax.random.uniform(zk, (bs, cfg.z_dim), minval=-1.0, maxval=1.0)
         outs.append(gen_batch(state.g_params, state.g_batch_stats, z))
     return jnp.concatenate(outs)[:n]
+
+
+def interpolate(cfg: Config, state: TrainState, rng: jax.Array,
+                rows: int = 8, cols: int = 8) -> Array:
+    """Latent interpolation grid (the reference lineage's visualize
+    option): each row is a linear walk in z between two random
+    endpoints, decoded in eval mode.  Returns (rows*cols, H, W, C)."""
+    from smmdax.nn import build_models
+    gen, _ = build_models(cfg)
+    k0, k1 = jax.random.split(rng)
+    z0 = jax.random.uniform(k0, (rows, cfg.z_dim), minval=-1.0, maxval=1.0)
+    z1 = jax.random.uniform(k1, (rows, cfg.z_dim), minval=-1.0, maxval=1.0)
+    t = jnp.linspace(0.0, 1.0, cols)[None, :, None]       # (1, cols, 1)
+    z = z0[:, None, :] * (1.0 - t) + z1[:, None, :] * t   # (rows, cols, z)
+    z = z.reshape(rows * cols, cfg.z_dim)
+    imgs = gen.apply({"params": state.g_params,
+                      "batch_stats": state.g_batch_stats}, z, train=False)
+    return imgs

@@ -67,3 +67,33 @@ def test_compute_scores_cli(tmp_path):
         cwd=REPO, env=ENV, capture_output=True, text=True, timeout=500)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "FID:" in out.stdout and "KID:" in out.stdout
+
+
+def test_main_visualize_interpolation_cli(tmp_path):
+    """--visualize produces the latent interpolation grid alongside the
+    sample grid (the reference lineage's visualize option)."""
+    out = subprocess.run(
+        [sys.executable, "main.py",
+         "--is_train", "false", "--visualize", "true",
+         "--dataset", "synthetic", "--architecture", "dcgan",
+         "--model", "mmd", "--batch_size", "8", "--output_size", "32",
+         "--gf_dim", "8", "--df_dim", "8", "--dof_dim", "4",
+         "--z_dim", "8",
+         "--checkpoint_dir", str(tmp_path / "ck"),
+         "--sample_dir", str(tmp_path / "s"),
+         "--log_dir", str(tmp_path / "l")],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    run_dir = os.path.join(tmp_path / "s", os.listdir(tmp_path / "s")[0])
+    assert "interpolation.png" in os.listdir(run_dir)
+
+    # endpoints of each interpolation row vary; midpoints are between
+    from smmdax.train import create_state, interpolate
+    cfg = Config(dataset="synthetic", architecture="dcgan", model="mmd",
+                 batch_size=8, output_size=32, gf_dim=8, df_dim=8,
+                 dof_dim=4, z_dim=8)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    grid = np.asarray(interpolate(cfg, state, jax.random.PRNGKey(1),
+                                  rows=2, cols=5))
+    assert grid.shape == (10, 32, 32, 3)
+    assert not np.allclose(grid[0], grid[4])   # row endpoints differ
