@@ -62,7 +62,16 @@ def _kernel_params(cfg: Config):
 def _pallas(cfg: Config, f_a: Array, f_b: Array) -> bool:
     """Static (trace-time) fused-vs-dense decision for the Gram blocks
     these two feature matrices will produce (on/off/auto dispatch —
-    VERDICT item 5; crossover measured in BASELINE.md)."""
+    crossover measured in BASELINE.md).
+
+    GSPMD multi-shard programs never dispatch: a pallas_call is opaque
+    to the XLA partitioner (it would run replicated on gathered
+    operands, defeating the sharding) — the fused path belongs to
+    single-chip jit and to shard_map bodies, where it runs per shard
+    with explicit collectives around it.
+    """
+    if cfg.num_data_shards > 1 and cfg.dp_mode == "gspmd":
+        return False
     from smmdax.pallas.dispatch import should_use_pallas
     return should_use_pallas(cfg.use_pallas, cfg.kernel,
                              f_a.shape[0], f_b.shape[0],

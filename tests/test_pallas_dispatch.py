@@ -86,3 +86,24 @@ def test_auto_is_dense_on_cpu_even_above_threshold():
     # don't lower on the CPU backend outside interpret mode)
     v = float(mmd2_objective(cfg, f_fake, f_real))
     assert np.isfinite(v)
+
+
+def test_gspmd_multishard_never_dispatches_pallas(monkeypatch):
+    """A pallas_call is opaque to the GSPMD partitioner, so auto/on must
+    resolve to the dense path inside multi-shard gspmd programs — the
+    step must compile and run on the mesh even with a tiny crossover."""
+    from smmdax.data import make_dataset
+    from smmdax.train import create_state, jit_train_step, make_mesh
+
+    cfg = Config(model="mmd", kernel="rq", architecture="dcgan",
+                 dataset="synthetic", output_size=32, batch_size=16,
+                 real_batch_size=16, gf_dim=8, df_dim=8, dof_dim=4, z_dim=8,
+                 dsteps=1, gsteps=1, num_data_shards=8,
+                 use_pallas="on", pallas_min_rows=1)
+    src = make_dataset(cfg)
+    flat = src.batch(2 * cfg.batch_size, key=0)
+    batch = jnp.asarray(flat.reshape((2, cfg.batch_size) + flat.shape[1:]))
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg, 1, 1, mesh=make_mesh(8), mode="gspmd")
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["d_loss_mmd2"]))
