@@ -97,6 +97,12 @@ class Config:
     # --- kernel mixture constants ------------------------------------------
     rbf_sigmas: Tuple[float, ...] = DEFAULT_RBF_SIGMAS
     rq_alphas: Tuple[float, ...] = DEFAULT_RQ_ALPHAS
+    kernel_add_dot: float = 0.0          # rq only: add w*<x,y> to the mixture
+                                         # (the lineage's mix_rq_dot variant —
+                                         # keeps the critic from collapsing
+                                         # feature scale); non-constant
+                                         # diagonal, so ring/Pallas paths
+                                         # stay dense when set
 
     # --- LR scheduling (KID-driven three-sample test, SURVEY.md #11) -------
     MMD_lr_scheduler: bool = True

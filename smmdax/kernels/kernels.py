@@ -149,12 +149,14 @@ def distance_kernel(x: Array, y: Array) -> KernelBlocks:
 
 def kernel_cross(name: str, x: Array, y: Array, *,
                  rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
-                 rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0)) -> Array:
+                 rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
+                 add_dot: float = 0.0) -> Array:
     """Just the (m, n) cross Gram block K_XY (used by the witness fn)."""
     if name == "gaussian":
         return _mix_rbf(sq_dists(x, y), rbf_sigmas, None)
     if name == "rq":
-        return _mix_rq(sq_dists(x, y), rq_alphas, None)
+        dot = jnp.dot(x, y.T, **_F32) if add_dot else None
+        return _mix_rq(sq_dists(x, y), rq_alphas, None, add_dot, dot)
     if name == "dot":
         return jnp.dot(x, y.T, **_F32)
     if name == "distance":
@@ -164,12 +166,17 @@ def kernel_cross(name: str, x: Array, y: Array, *,
 
 def kernel_matrices(name: str, x: Array, y: Array, *,
                     rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
-                    rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0)) -> KernelBlocks:
-    """Dispatch matching the reference kernel flag set {gaussian, rq, ...}."""
+                    rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
+                    add_dot: float = 0.0) -> KernelBlocks:
+    """Dispatch matching the reference kernel flag set {gaussian, rq, ...}.
+
+    ``add_dot`` (rq only) adds ``add_dot * <x, y>`` to the mixture —
+    the lineage's ``mix_rq_dot`` variant.
+    """
     if name == "gaussian":
         return mix_rbf_kernel(x, y, sigmas=rbf_sigmas)
     if name == "rq":
-        return mix_rq_kernel(x, y, alphas=rq_alphas)
+        return mix_rq_kernel(x, y, alphas=rq_alphas, add_dot=add_dot)
     if name == "dot":
         return dot_kernel(x, y)
     if name == "distance":

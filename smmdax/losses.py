@@ -52,7 +52,8 @@ class LossAux(NamedTuple):
 
 def _blocks(cfg: Config, f_fake: Array, f_real: Array) -> KernelBlocks:
     return kernel_matrices(cfg.kernel, f_fake, f_real,
-                           rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+                           rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
+                           add_dot=cfg.kernel_add_dot)
 
 
 def _kernel_params(cfg: Config):
@@ -71,6 +72,8 @@ def _pallas(cfg: Config, f_a: Array, f_b: Array) -> bool:
     with explicit collectives around it.
     """
     if cfg.num_data_shards > 1 and cfg.dp_mode == "gspmd":
+        return False
+    if cfg.kernel_add_dot:           # non-constant diagonal: dense only
         return False
     from smmdax.pallas.dispatch import should_use_pallas
     return should_use_pallas(cfg.use_pallas, cfg.kernel,
@@ -127,7 +130,8 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
         else:
             local = mmd2(_blocks(cfg, f_fake, f_real))
         return jax.lax.pmean(local, axis_name)
-    if axis_name is not None and cfg.use_ring_mmd and cfg.kernel in RING_KERNELS:
+    if axis_name is not None and cfg.use_ring_mmd \
+            and cfg.kernel in RING_KERNELS and not cfg.kernel_add_dot:
         from smmdax.parallel.ring import ring_mmd2
         # the ring's pair sums see (local_b, local_b) blocks
         return ring_mmd2(f_fake, f_real, axis_name, cfg.kernel,
@@ -239,9 +243,11 @@ def witness_gradient_penalty(cfg: Config, critic: Critic,
     def witness(x: Array) -> Array:
         fx = critic(x)                                   # (b, dof)
         k_fake = kernel_cross(cfg.kernel, fx, f_fake,
-                              rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+                              rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
+                              add_dot=cfg.kernel_add_dot)
         k_real = kernel_cross(cfg.kernel, fx, f_real,
-                              rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+                              rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
+                              add_dot=cfg.kernel_add_dot)
         return jnp.mean(k_fake, axis=1) - jnp.mean(k_real, axis=1)   # (b,)
 
     return _penalize(_grad_norms(witness, xhat), cfg.gp_variant)
@@ -290,7 +296,7 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
 
     if cfg.model == "tmmd":
         if (axis_name is not None and cfg.use_ring_mmd
-                and cfg.kernel in RING_KERNELS):
+                and cfg.kernel in RING_KERNELS and not cfg.kernel_add_dot):
             # ring-form variance estimator: the Sutherland formula is
             # all row-sums / squared sums, psum-able over block rows —
             # no dense global Gram needed (SURVEY.md §7 hard-part #3)

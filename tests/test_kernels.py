@@ -219,3 +219,60 @@ def test_second_order_gradients_exist(feats):
 
     gg = jax.grad(outer)(x)
     assert np.all(np.isfinite(np.asarray(gg)))
+
+
+def test_rq_add_dot_variant():
+    """kernel_add_dot (the lineage's mix_rq_dot): adds w*<x,y> to the RQ
+    mixture; the diagonal becomes data-dependent so KernelBlocks must
+    carry k_diag=None and the unbiased estimator must strip the REAL
+    diagonal."""
+    import jax
+    import jax.numpy as jnp
+
+    from smmdax.kernels import kernel_cross, kernel_matrices, mmd2
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(k1, (20, 6))
+    y = jax.random.normal(k2, (24, 6)) + 0.3
+
+    plain = kernel_matrices("rq", x, y)
+    mixed = kernel_matrices("rq", x, y, add_dot=0.5)
+    assert mixed.k_diag is None
+    np.testing.assert_allclose(np.asarray(mixed.k_xy),
+                               np.asarray(plain.k_xy + 0.5 * (x @ y.T)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(kernel_cross("rq", x, y, add_dot=0.5)),
+        np.asarray(mixed.k_xy), rtol=1e-6, atol=1e-7)
+
+    # unbiased estimator strips the data-dependent diagonal correctly
+    got = float(mmd2(mixed))
+    kxx = np.asarray(mixed.k_xx); kyy = np.asarray(mixed.k_yy)
+    kxy = np.asarray(mixed.k_xy)
+    m, n = len(x), len(y)
+    want = ((kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+            + (kyy.sum() - np.trace(kyy)) / (n * (n - 1))
+            - 2.0 * kxy.mean())
+    assert got == pytest.approx(want, rel=1e-4)   # f32 vs f64-numpy oracle
+
+
+def test_rq_add_dot_trains_end_to_end():
+    """A training step with kernel_add_dot set runs (dense paths engaged;
+    ring/Pallas correctly refuse the non-constant diagonal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smmdax.configs import Config
+    from smmdax.data import make_dataset
+    from smmdax.train import create_state, jit_train_step
+
+    cfg = Config(model="mmd", kernel="rq", kernel_add_dot=0.1,
+                 architecture="dcgan", dataset="synthetic", output_size=32,
+                 batch_size=8, gf_dim=8, df_dim=8, dof_dim=4, z_dim=8,
+                 dsteps=1, gsteps=1, use_pallas="on", pallas_min_rows=1)
+    src = make_dataset(cfg)
+    flat = src.batch(2 * cfg.batch_size, key=0)
+    batch = jnp.asarray(flat.reshape((2, cfg.batch_size) + flat.shape[1:]))
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    state, metrics = jit_train_step(cfg, 1, 1)(state, batch)
+    assert np.isfinite(float(metrics["d_loss_mmd2"]))
