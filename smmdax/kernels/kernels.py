@@ -30,6 +30,11 @@ Array = jnp.ndarray
 _F32 = dict(preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
+# Self-distance guard for the energy-distance kernel: k(x,x) = -sqrt(eps).
+# Single source of truth — the Pallas kernels and ring estimators import
+# this so diagonal constants can never drift.
+DIST_EPS = 1e-8
+
 
 class KernelBlocks(NamedTuple):
     """The three Gram blocks plus the (constant) diagonal value.
@@ -137,7 +142,7 @@ def distance_kernel(x: Array, y: Array) -> KernelBlocks:
     Conditionally negative definite; MMD with it equals the energy
     distance.  k(x,x) = 0 so k_diag = 0.
     """
-    eps = 1e-8
+    eps = DIST_EPS
     diag = -float(eps) ** 0.5
     # pin self-distances to exactly sqrt(eps): the matmul-based distance
     # leaves O(1e-4) cancellation residue on the diagonal otherwise
@@ -160,7 +165,7 @@ def kernel_cross(name: str, x: Array, y: Array, *,
     if name == "dot":
         return jnp.dot(x, y.T, **_F32)
     if name == "distance":
-        return -jnp.sqrt(sq_dists(x, y) + 1e-8)
+        return -jnp.sqrt(sq_dists(x, y) + DIST_EPS)
     raise ValueError(f"unknown kernel {name!r}")
 
 

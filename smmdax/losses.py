@@ -60,18 +60,22 @@ def _kernel_params(cfg: Config):
     return cfg.rbf_sigmas if cfg.kernel == "gaussian" else cfg.rq_alphas
 
 
-def _pallas(cfg: Config, f_a: Array, f_b: Array) -> bool:
+def _pallas(cfg: Config, f_a: Array, f_b: Array,
+            axis_name: Optional[str]) -> bool:
     """Static (trace-time) fused-vs-dense decision for the Gram blocks
     these two feature matrices will produce (on/off/auto dispatch —
     crossover measured in BASELINE.md).
 
-    GSPMD multi-shard programs never dispatch: a pallas_call is opaque
-    to the XLA partitioner (it would run replicated on gathered
-    operands, defeating the sharding) — the fused path belongs to
-    single-chip jit and to shard_map bodies, where it runs per shard
-    with explicit collectives around it.
+    Multi-shard programs WITHOUT an explicit mesh axis (i.e. GSPMD
+    partitioning) never dispatch: a pallas_call is opaque to the XLA
+    partitioner (it would run replicated on gathered operands,
+    defeating the sharding).  The fused path belongs to single-chip jit
+    and to shard_map bodies (axis_name set), where it runs per shard
+    with explicit collectives around it.  Keyed on the actual execution
+    context, not cfg.dp_mode — jit_train_step's mode argument can
+    differ from the config.
     """
-    if cfg.num_data_shards > 1 and cfg.dp_mode == "gspmd":
+    if axis_name is None and cfg.num_data_shards > 1:
         return False
     if cfg.kernel_add_dot:           # non-constant diagonal: dense only
         return False
@@ -124,7 +128,7 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
     if axis_name is not None and not cfg.global_batch_mmd:
         # per-shard local-batch estimator, averaged across shards (the
         # cheap non-global variant; the [SPEC] default is global)
-        if _pallas(cfg, f_fake, f_real):
+        if _pallas(cfg, f_fake, f_real, axis_name):
             from smmdax.pallas import fused_mmd2
             local = fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg))
         else:
@@ -136,10 +140,10 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
         # the ring's pair sums see (local_b, local_b) blocks
         return ring_mmd2(f_fake, f_real, axis_name, cfg.kernel,
                          rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
-                         use_pallas=_pallas(cfg, f_fake, f_real))
+                         use_pallas=_pallas(cfg, f_fake, f_real, axis_name))
     f_fake = _gather(f_fake, axis_name)
     f_real = _gather(f_real, axis_name)
-    if _pallas(cfg, f_fake, f_real):
+    if _pallas(cfg, f_fake, f_real, axis_name):
         from smmdax.pallas import fused_mmd2
         return fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg))
     return mmd2(_blocks(cfg, f_fake, f_real))
@@ -304,7 +308,7 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
             mmd2_val, objective = ring_mmd2_and_ratio(
                 f_fake, f_real, axis_name, cfg.kernel,
                 rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
-                use_pallas=_pallas(cfg, f_fake, f_real))
+                use_pallas=_pallas(cfg, f_fake, f_real, axis_name))
         else:
             # dense path: the variance estimator over full Gram blocks
             blocks = _blocks(cfg, _gather(f_fake, axis_name),

@@ -14,5 +14,6 @@ from smmdax.pallas.mmd_kernel import (  # noqa: F401
     make_fused_mmd_sums,
     make_pair_stats,
     make_pair_sum,
+    make_row_stats,
     fused_mmd2,
 )

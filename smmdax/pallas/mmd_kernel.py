@@ -45,7 +45,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-_DIST_EPS = 1e-8   # matches smmdax.kernels.kernels.distance_kernel
+from smmdax.kernels.kernels import DIST_EPS as _DIST_EPS
 
 
 def _mixture_k(d2, kernel: str, params: Sequence[float]):
@@ -272,7 +272,7 @@ def fused_mmd2(x: Array, y: Array, kernel: str = "rq",
 # the tmmd model Gram-free too)
 
 
-def _stats_kernel(a_ref, b_ref, rows_ref, cols_ref, sq_ref, *, kernel,
+def _stats_kernel(a_ref, b_ref, rows_ref, sq_ref, *, kernel,
                   params, m, n, tm, tn, exclude_diag):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -290,11 +290,13 @@ def _stats_kernel(a_ref, b_ref, rows_ref, cols_ref, sq_ref, *, kernel,
         mask &= rows != cols
     k = jnp.where(mask, k, 0.0)
 
-    # accumulator layout: lane 0 of a (x, 128) buffer carries the sums
+    # Row sums only: the rows block index follows the OUTER grid dim, so
+    # its revisits (over j) are consecutive — the only accumulation
+    # pattern TPU Pallas guarantees.  Column sums of K(a, b) are the row
+    # sums of K(b, a); the wrapper makes a swapped call when they are
+    # needed instead of accumulating an output over the outer dim.
     lane_r = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1) == 0
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (tn, 128), 1) == 0
     row_part = jnp.where(lane_r, jnp.sum(k, axis=1)[:, None], 0.0)
-    col_part = jnp.where(lane_c, jnp.sum(k, axis=0)[:, None], 0.0)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -308,14 +310,6 @@ def _stats_kernel(a_ref, b_ref, rows_ref, cols_ref, sq_ref, *, kernel,
     def _():
         rows_ref[...] += row_part
 
-    @pl.when(i == 0)
-    def _():
-        cols_ref[...] = col_part
-
-    @pl.when(i != 0)
-    def _():
-        cols_ref[...] += col_part
-
     sq_ref[0, 0] += jnp.sum(k * k)
 
 
@@ -328,7 +322,7 @@ def _pair_stats_fwd(a: Array, b: Array, kernel: str, params,
     mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
     ap = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
     bp = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
-    rows, cols, sq = pl.pallas_call(
+    rows, sq = pl.pallas_call(
         functools.partial(_stats_kernel, kernel=kernel, params=tuple(params),
                           m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
         grid=(mp // tm, np_ // tn),
@@ -338,17 +332,15 @@ def _pair_stats_fwd(a: Array, b: Array, kernel: str, params,
         ],
         out_specs=[
             pl.BlockSpec((tm, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((mp, 128), jnp.float32),
-            jax.ShapeDtypeStruct((np_, 128), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=_INTERPRET,
     )(ap, bp)
-    return rows[:m, 0], cols[:n, 0], sq[0, 0]
+    return rows[:m, 0], sq[0, 0]
 
 
 def _stats_bwd_kernel(a_ref, b_ref, u_ref, v_ref, csq_ref, da_ref, *,
@@ -422,39 +414,60 @@ def _pair_stats_grad_a(a: Array, b: Array, u: Array, v: Array, c_sq: Array,
     return da[:m, :d]
 
 
-def make_pair_stats(kernel: str, params: Sequence[float], exclude_diag: bool):
+def make_row_stats(kernel: str, params: Sequence[float], exclude_diag: bool):
     """Differentiable fused block statistics:
 
-        pair_stats(a, b) -> (row_sums (m,), col_sums (n,), sum_sq ())
+        row_stats(a, b) -> (row_sums (m,), sum_sq ())
 
-    of the masked mixture Gram block k(a_i, b_j) — everything the
-    Sutherland variance estimator needs per ring rotation, with O(tile)
-    VMEM and no (m, n) materialization.  The VJP runs the same tiling
-    with the cotangents riding lane 0 of (x, 128) buffers:
+    of the masked mixture Gram block k(a_i, b_j), with O(tile) VMEM and
+    no (m, n) materialization.  Column sums are the row sums of the
+    swapped call (k is symmetric in its pair): the kernel only ever
+    accumulates into the output block indexed by the OUTER grid dim,
+    the one revisit pattern TPU Pallas guarantees.  The VJP runs the
+    same tiling with the row cotangent riding lane 0 of a (x, 128)
+    buffer:
 
-        dS/da_i = 2 sum_j (u_i + v_j + 2 c k_ij) g_ij (a_i - b_j)
+        dS/da_i = 2 sum_j (u_i + 2 c k_ij) g_ij (a_i - b_j)
 
-    (u, v, c the cotangents of rows/cols/sum_sq; g = dk/d(d2); the
-    factor 2 from d(d2)/da folded in the wrapper)."""
+    (u, c the cotangents of rows/sum_sq; g = dk/d(d2); the factor 2
+    from d(d2)/da folded in the wrapper)."""
     params = tuple(float(p) for p in params)
 
     @jax.custom_vjp
-    def pair_stats(a, b):
+    def row_stats(a, b):
         return _pair_stats_fwd(a, b, kernel, params, exclude_diag)
 
     def fwd(a, b):
-        return pair_stats(a, b), (a, b)
+        return row_stats(a, b), (a, b)
 
     def bwd(res, cots):
         a, b = res
-        u, v, c_sq = cots
-        da = 2.0 * _pair_stats_grad_a(a, b, u, v, c_sq, kernel, params,
+        u, c_sq = cots
+        zn = jnp.zeros((b.shape[0],), jnp.float32)
+        da = 2.0 * _pair_stats_grad_a(a, b, u, zn, c_sq, kernel, params,
                                       exclude_diag)
-        db = 2.0 * _pair_stats_grad_a(b, a, v, u, c_sq, kernel, params,
+        # dS/db_j: swapped call — b's own rows carry no cotangent (zn in
+        # the u slot), u rides the v slot indexing a's rows
+        db = 2.0 * _pair_stats_grad_a(b, a, zn, u, c_sq, kernel, params,
                                       exclude_diag)
         return da, db
 
-    pair_stats.defvjp(fwd, bwd)
+    row_stats.defvjp(fwd, bwd)
+    return row_stats
+
+
+def make_pair_stats(kernel: str, params: Sequence[float], exclude_diag: bool):
+    """(row_sums, col_sums, sum_sq) of a masked Gram block — two
+    row-stats sweeps (cols = rows of the swapped block).  Convenience /
+    test surface; the ring estimator calls make_row_stats directly and
+    skips the col sweep for the blocks that don't need it."""
+    rs = make_row_stats(kernel, params, exclude_diag)
+
+    def pair_stats(a, b):
+        rows, sq = rs(a, b)
+        cols, _ = rs(b, a)
+        return rows, cols, sq
+
     return pair_stats
 
 

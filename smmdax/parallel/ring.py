@@ -116,16 +116,14 @@ def ring_mmd2(x_loc: Array, y_loc: Array, axis_name: str,
 
 
 def _const_diag(kernel: str, rbf_sigmas, rq_alphas) -> float:
-    """k(x, x) for the constant-diagonal kernels the ring paths serve."""
-    if kernel == "gaussian":
-        return float(len(rbf_sigmas))
-    if kernel == "rq":
-        return float(len(rq_alphas))
-    if kernel == "distance":
-        from smmdax.pallas.mmd_kernel import kernel_diag
-        return kernel_diag("distance", ())
-    raise ValueError(
-        f"ring estimators need a constant-diagonal kernel, got {kernel!r}")
+    """k(x, x) for the constant-diagonal kernels the ring paths serve
+    (single source of truth: smmdax.pallas.mmd_kernel.kernel_diag)."""
+    if kernel not in RING_KERNELS:
+        raise ValueError(
+            f"ring estimators need a constant-diagonal kernel, got {kernel!r}")
+    from smmdax.pallas.mmd_kernel import kernel_diag
+    return kernel_diag(kernel,
+                       rbf_sigmas if kernel == "gaussian" else rq_alphas)
 
 
 def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
@@ -166,22 +164,35 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
                             rbf_sigmas=rbf_sigmas, rq_alphas=rq_alphas)
 
     if use_pallas and kernel in RING_KERNELS:
-        # fused block statistics: row/col sums + sum of squares straight
+        # fused block statistics: row sums + sum of squares straight
         # from VMEM tiles, the (b, b) Gram block never hits HBM; the
-        # masked diagonal exclusion replaces the constant subtraction
-        from smmdax.pallas import make_pair_stats
+        # masked diagonal exclusion replaces the constant subtraction.
+        # Column sums (needed only for the xy block) are the row sums
+        # of the swapped call — the xx/yy blocks skip that sweep.
+        from smmdax.pallas import make_row_stats
         kp = rbf_sigmas if kernel == "gaussian" else rq_alphas
-        stats_own = make_pair_stats(kernel, kp, exclude_diag=True)
-        stats_off = make_pair_stats(kernel, kp, exclude_diag=False)
+        rs_own = make_row_stats(kernel, kp, exclude_diag=True)
+        rs_off = make_row_stats(kernel, kp, exclude_diag=False)
 
-        def block_stats(a, c, own):
-            return (stats_own if own else stats_off)(a, c)
+        def block_stats(a, c, own, want_cols=False):
+            rows, sq = (rs_own if own else rs_off)(a, c)
+            cols = rs_off(c, a)[0] if want_cols else None
+            return rows, cols, sq
     else:
-        def block_stats(a, c, own):
+        def block_stats(a, c, own, want_cols=False):
             k = cross(a, c)
-            rows = jnp.sum(k, axis=1) - (diag if own else 0.0)
-            cols = jnp.sum(k, axis=0) - (diag if own else 0.0)
-            sq = jnp.sum(k * k) - (a.shape[0] * diag * diag if own else 0.0)
+            rows = jnp.sum(k, axis=1)
+            cols = jnp.sum(k, axis=0) if want_cols else None
+            sq = jnp.sum(k * k)
+            if own:
+                # subtract the COMPUTED diagonal, not the idealized
+                # constant: the matmul-form distances leave f32
+                # cancellation residue on self-distances (worst for the
+                # distance kernel: -sqrt(residue+eps) vs -1e-4), and
+                # off-diagonal sums must be exact regardless
+                dvec = jnp.diagonal(k)
+                rows = rows - dvec
+                sq = sq - jnp.sum(dvec * dvec)
             return rows, cols, sq
 
     zero = jnp.float32(0.0)
@@ -198,7 +209,7 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
         own = t == 0
         r_xx, _, s_xx = block_stats(x_loc, x_buf, own)
         r_yy, _, s_yy = block_stats(y_loc, y_buf, own)
-        r_xy, c_xy, s_xy = block_stats(x_loc, y_buf, False)
+        r_xy, c_xy, s_xy = block_stats(x_loc, y_buf, False, want_cols=True)
         xx_rows = xx_rows + r_xx
         yy_rows = yy_rows + r_yy
         kxx2 = kxx2 + s_xx

@@ -22,10 +22,14 @@ def witness_fn(cfg: Config, critic, grid: Array, f_real: Array,
                f_fake: Array) -> Array:
     """w(x) = E_fake k(phi(x), phi(fake)) - E_real k(phi(x), phi(real))."""
     fx = critic(jnp.asarray(grid))
+    # add_dot threaded through so the plotted witness is exactly the
+    # one the critic trains on (mix_rq_dot variant included)
     k_fake = kernel_cross(cfg.kernel, fx, jnp.asarray(f_fake),
-                          rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+                          rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
+                          add_dot=cfg.kernel_add_dot)
     k_real = kernel_cross(cfg.kernel, fx, jnp.asarray(f_real),
-                          rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas)
+                          rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
+                          add_dot=cfg.kernel_add_dot)
     return np.asarray(jnp.mean(k_fake, axis=1) - jnp.mean(k_real, axis=1))
 
 
