@@ -43,6 +43,11 @@ def main(argv=None) -> None:
     p.add_argument("fake")
     p.add_argument("--extractor", default="auto",
                    choices=["auto", "random_conv", "inception"])
+    p.add_argument("--fid_semantics", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="frozen-TF-FID-graph pooling semantics for the "
+                        "Inception extractor; auto = detect from the fc "
+                        "width (1008 = FID weight port)")
     p.add_argument("--data_dir", default="./data")
     p.add_argument("--subset_size", type=int, default=1000)
     p.add_argument("--n_subsets", type=int, default=50)
@@ -59,12 +64,15 @@ def main(argv=None) -> None:
     # Inception weights asset (and must not pay a pointless net load)
     _ext = []
 
+    fid_sem = {"auto": None, "on": True, "off": False}[args.fid_semantics]
+
     def extractor():
         if not _ext:
             if args.extractor == "inception":
                 path = find_inception_weights(args.data_dir)
                 _ext.append(InceptionFeatures(
-                    path or os.path.join(args.data_dir, "inception_v3.pt")))
+                    path or os.path.join(args.data_dir, "inception_v3.pt"),
+                    fid_semantics=fid_sem))
             elif args.extractor == "random_conv":
                 _ext.append(RandomConvFeatures())
             else:

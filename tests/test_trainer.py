@@ -228,3 +228,28 @@ def test_resume_with_legacy_best_checkpoint_no_meta(tmp_path):
     assert t2._best_feats is not None
     assert np.isfinite(t2._best_kid)
     assert "fid" in out
+
+
+def test_profiler_window_writes_trace(tmp_path):
+    """cfg.profile_steps opens a jax.profiler window (SURVEY.md §5
+    tracing row) and produces trace artifacts under log_dir/profile."""
+    cfg = _cfg(str(tmp_path), max_iteration=4, profile_steps=2,
+               profile_start=1, checkpoint_every=0)
+    Trainer(cfg).train()
+    prof_root = os.path.join(cfg.log_dir, "profile", cfg.run_name())
+    found = []
+    for root, _, files in os.walk(prof_root):
+        found += [f for f in files if f.endswith((".pb", ".json.gz"))]
+    assert found, f"no profiler artifacts under {prof_root}"
+
+
+def test_tensorboard_writer_emits_event_files(tmp_path):
+    """tensorboard=True writes tf.summary event files alongside JSONL."""
+    pytest.importorskip("tensorflow")
+    cfg = _cfg(str(tmp_path), max_iteration=3, tensorboard=True,
+               checkpoint_every=0, log_every=1)
+    Trainer(cfg).train()
+    found = []
+    for root, _, files in os.walk(cfg.log_dir):
+        found += [f for f in files if "tfevents" in f]
+    assert found, f"no event files under {cfg.log_dir}"
