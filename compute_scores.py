@@ -11,6 +11,7 @@ probabilities are available, IS.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 
@@ -56,28 +57,24 @@ def main(argv=None) -> None:
     from smmdax.eval import (fid_from_features, get_feature_extractor,
                              inception_score, kid_from_features)
     from smmdax.eval.features import (InceptionFeatures, RandomConvFeatures,
+                                      extract_with_probs,
                                       find_inception_weights)
 
     real, fake = _load(args.real), _load(args.fake)
+    fid_sem = {"auto": None, "on": True, "off": False}[args.fid_semantics]
 
     # lazily built: precomputed-feature inputs must not require the
     # Inception weights asset (and must not pay a pointless net load)
-    _ext = []
-
-    fid_sem = {"auto": None, "on": True, "off": False}[args.fid_semantics]
-
+    @functools.cache
     def extractor():
-        if not _ext:
-            if args.extractor == "inception":
-                path = find_inception_weights(args.data_dir)
-                _ext.append(InceptionFeatures(
-                    path or os.path.join(args.data_dir, "inception_v3.pt"),
-                    fid_semantics=fid_sem))
-            elif args.extractor == "random_conv":
-                _ext.append(RandomConvFeatures())
-            else:
-                _ext.append(get_feature_extractor(args.data_dir))
-        return _ext[0]
+        if args.extractor == "inception":
+            path = find_inception_weights(args.data_dir)
+            return InceptionFeatures(
+                path or os.path.join(args.data_dir, "inception_v3.pt"),
+                fid_semantics=fid_sem)
+        if args.extractor == "random_conv":
+            return RandomConvFeatures()
+        return get_feature_extractor(args.data_dir)
 
     used = "precomputed"
     fake_probs = None
@@ -88,8 +85,8 @@ def main(argv=None) -> None:
             return arr.astype(np.float32)
         ext = extractor()
         used = ext.name
-        if want_probs and hasattr(ext, "features_and_probs"):
-            feats, fake_probs = ext.features_and_probs(arr)  # one sweep
+        if want_probs:
+            feats, fake_probs = extract_with_probs(ext, arr)  # one sweep
             return feats
         return ext(arr)
 
@@ -101,9 +98,6 @@ def main(argv=None) -> None:
                                      n_subsets=args.n_subsets)
     print(f"FID: {fid:.4f}")
     print(f"KID: {kid:.6f} +- {kid_std:.6f}")
-    if fake_probs is None and fake.ndim == 4 and _ext \
-            and hasattr(_ext[0], "probs"):
-        fake_probs = _ext[0].probs(fake)
     if fake_probs is not None:
         is_mean, is_std = inception_score(fake_probs)
         print(f"IS: {is_mean:.4f} +- {is_std:.4f}")

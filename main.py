@@ -66,14 +66,12 @@ def main(argv=None) -> None:
         from smmdax.eval import (fid_from_features, get_feature_extractor,
                                  inception_score, kid_from_features)
         from smmdax.data import make_dataset
+        from smmdax.eval.features import extract_with_probs
         extractor = get_feature_extractor(cfg.data_dir)
         source = make_dataset(cfg)
         real = source.batch(min(cfg.no_of_samples, 5000))
         fr = extractor(real)
-        if hasattr(extractor, "features_and_probs"):
-            ff, probs = extractor.features_and_probs(imgs)
-        else:
-            ff, probs = extractor(imgs), None
+        ff, probs = extract_with_probs(extractor, imgs)
         fid = fid_from_features(fr, ff)
         kid, kid_std = kid_from_features(fr, ff,
                                          subset_size=min(1000, len(ff)))

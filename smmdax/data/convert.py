@@ -61,6 +61,8 @@ def pack_image_dir(root: str, out_path: str, size: int,
     the shortest side.
     """
     from PIL import Image
+
+    from smmdax.data.pipeline import center_crop_resize
     files = sorted(os.path.join(root, f) for f in os.listdir(root)
                    if f.lower().endswith((".jpg", ".jpeg", ".png")))
     if not files:
@@ -70,13 +72,8 @@ def pack_image_dir(root: str, out_path: str, size: int,
     out = np.lib.format.open_memmap(out_path, mode="w+", dtype=np.uint8,
                                     shape=(len(files), size, size, 3))
     for i, path in enumerate(files):
-        img = Image.open(path).convert("RGB")
-        w, h = img.size
-        c = min(w, h) if crop is None else crop
-        left, top = (w - c) // 2, (h - c) // 2
-        img = img.crop((left, top, left + c, top + c))
-        if size != c:
-            img = img.resize((size, size), Image.BILINEAR)
+        img = center_crop_resize(Image.open(path).convert("RGB"), size,
+                                 crop=crop)
         out[i] = np.asarray(img, np.uint8)
         if log_every and (i + 1) % log_every == 0:
             print(f"[smmdax.convert] {i + 1}/{len(files)}")

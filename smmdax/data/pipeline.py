@@ -122,6 +122,20 @@ def _load_npz_images(data_dir: str, subdir: str, size: int) -> Optional[Array]:
     return np.concatenate(arrs)            # uint8; normalized per batch
 
 
+def center_crop_resize(img, size: int, crop: Optional[int] = None):
+    """PIL image -> center-crop (``crop`` side, default shortest side)
+    -> bilinear resize to (size, size).  Shared by the CelebA and LSUN
+    decoders and the packing tool so the decode math can't drift."""
+    from PIL import Image
+    w, h = img.size
+    c = min(w, h) if crop is None else crop
+    left, top = (w - c) // 2, (h - c) // 2
+    img = img.crop((left, top, left + c, top + c))
+    if size != c:
+        img = img.resize((size, size), Image.BILINEAR)
+    return img
+
+
 class CelebASource:
     """JPEG directory -> center-crop -> resize to output_size, in [-1,1].
 
@@ -155,13 +169,8 @@ class CelebASource:
         idx = rng.integers(0, len(self.files), size=n)
         out = np.empty((n, self.output_size, self.output_size, 3), np.float32)
         for i, j in enumerate(idx):
-            img = Image.open(self.files[j]).convert("RGB")
-            w, h = img.size
-            c = self.crop
-            left, top = (w - c) // 2, (h - c) // 2
-            img = img.crop((left, top, left + c, top + c))
-            if self.output_size != c:
-                img = img.resize((self.output_size,) * 2, Image.BILINEAR)
+            img = center_crop_resize(Image.open(self.files[j]).convert("RGB"),
+                                     self.output_size, crop=self.crop)
             out[i] = np.asarray(img, np.float32) / 127.5 - 1.0
         return out
 
@@ -205,13 +214,7 @@ class LSUNSource:
 
         from PIL import Image
         img = Image.open(io.BytesIO(self.reader.value(i))).convert("RGB")
-        w, h = img.size
-        c = min(w, h)
-        left, top = (w - c) // 2, (h - c) // 2
-        img = img.crop((left, top, left + c, top + c))
-        if self.output_size != c:
-            img = img.resize((self.output_size,) * 2, Image.BILINEAR)
-        return np.asarray(img, np.uint8)
+        return np.asarray(center_crop_resize(img, self.output_size), np.uint8)
 
     def _indices(self, n: int, key: Optional[int]) -> Array:
         rng = self._rng if key is None else np.random.default_rng(

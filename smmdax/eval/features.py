@@ -132,6 +132,17 @@ class InceptionFeatures:
         return self._net.pool3_and_probs(np.asarray(images, np.float32))
 
 
+def extract_with_probs(extractor: FeatureExtractor, images: Array):
+    """(features, probs-or-None) in ONE network sweep when the
+    extractor supports it — the shared protocol for every scoring
+    caller (trainer interval scoring, main.py eval, compute_scores)."""
+    if hasattr(extractor, "features_and_probs"):
+        return extractor.features_and_probs(images)
+    feats = extractor(images)
+    probs = extractor.probs(images) if hasattr(extractor, "probs") else None
+    return feats, probs
+
+
 def find_inception_weights(data_dir: str = "./data") -> Optional[str]:
     """First existing Inception weight asset under data_dir, if any."""
     for fname in ("inception_v3.pt", "inception_v3.pth", "inception_v3.npz"):

@@ -85,6 +85,13 @@ def _pallas(cfg: Config, f_a: Array, f_b: Array,
                              min_rows=cfg.pallas_min_rows)
 
 
+def _ring_eligible(cfg: Config, axis_name: Optional[str]) -> bool:
+    """The ring estimators serve constant-diagonal kernels inside
+    shard_map bodies (kernel_add_dot makes the diagonal data-dependent)."""
+    return (axis_name is not None and cfg.use_ring_mmd
+            and cfg.kernel in RING_KERNELS and not cfg.kernel_add_dot)
+
+
 def _critic_features(cfg: Config, critic: Critic,
                      real: Array, fake: Array) -> Tuple[Array, Array]:
     """critic(real), critic(fake) — as ONE application on the
@@ -134,8 +141,7 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
         else:
             local = mmd2(_blocks(cfg, f_fake, f_real))
         return jax.lax.pmean(local, axis_name)
-    if axis_name is not None and cfg.use_ring_mmd \
-            and cfg.kernel in RING_KERNELS and not cfg.kernel_add_dot:
+    if _ring_eligible(cfg, axis_name):
         from smmdax.parallel.ring import ring_mmd2
         # the ring's pair sums see (local_b, local_b) blocks
         return ring_mmd2(f_fake, f_real, axis_name, cfg.kernel,
@@ -299,8 +305,7 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
         return loss, aux
 
     if cfg.model == "tmmd":
-        if (axis_name is not None and cfg.use_ring_mmd
-                and cfg.kernel in RING_KERNELS and not cfg.kernel_add_dot):
+        if _ring_eligible(cfg, axis_name):
             # ring-form variance estimator: the Sutherland formula is
             # all row-sums / squared sums, psum-able over block rows —
             # no dense global Gram needed (SURVEY.md §7 hard-part #3)

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from smmdax.kernels.kernels import DIST_EPS as _DIST_EPS
+
 Array = jnp.ndarray
 
 _INTERPRET = False  # flipped by tests on CPU
@@ -45,7 +47,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-from smmdax.kernels.kernels import DIST_EPS as _DIST_EPS
+def _tile_pad(a: Array, b: Array, tm: int, tn: int):
+    """Shared tiling prologue: shrink tiles for small batches (don't pad
+    B=64 up to full tiles — 30x waste), zero-pad operands to tile/(8,128)
+    multiples, return everything the pallas_call grids/specs need."""
+    m, d = a.shape
+    n, _ = b.shape
+    tm = min(tm, _round_up(m, 8))
+    tn = min(tn, _round_up(n, 128))
+    mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
+    ap = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
+    bp = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
+    return ap, bp, (m, n, d), (tm, tn), (mp, np_, dp)
 
 
 def _mixture_k(d2, kernel: str, params: Sequence[float]):
@@ -123,13 +136,7 @@ def _fwd_kernel(a_ref, b_ref, out_ref, *, kernel, params, m, n, tm, tn,
 
 def _pair_sum(a: Array, b: Array, kernel: str, params, exclude_diag: bool,
               tm: int = 256, tn: int = 512) -> Array:
-    m, d = a.shape
-    n, _ = b.shape
-    tm = min(tm, _round_up(m, 8))        # don't pad small batches up to
-    tn = min(tn, _round_up(n, 128))      # full tiles (30x waste at B=64)
-    mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
-    a = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
-    b = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
+    a, b, (m, n, d), (tm, tn), (mp, np_, dp) = _tile_pad(a, b, tm, tn)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, kernel=kernel, params=tuple(params),
                           m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
@@ -187,13 +194,7 @@ def _pair_sum_grad_a(a: Array, b: Array, kernel: str, params,
                      exclude_diag: bool, tm: int = 256, tn: int = 512) -> Array:
     """d/da of sum_{ij} k(d2(a_i, b_j)) WITHOUT the cotangent/pair
     factor: returns sum_j g_ij (a_i - b_j), shape of a."""
-    m, d = a.shape
-    n, _ = b.shape
-    tm = min(tm, _round_up(m, 8))
-    tn = min(tn, _round_up(n, 128))
-    mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
-    ap = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
-    bp = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
+    ap, bp, (m, n, d), (tm, tn), (mp, np_, dp) = _tile_pad(a, b, tm, tn)
     da = pl.pallas_call(
         functools.partial(_bwd_kernel, kernel=kernel, params=tuple(params),
                           m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
@@ -315,13 +316,7 @@ def _stats_kernel(a_ref, b_ref, rows_ref, sq_ref, *, kernel,
 
 def _pair_stats_fwd(a: Array, b: Array, kernel: str, params,
                     exclude_diag: bool, tm: int = 256, tn: int = 512):
-    m, d = a.shape
-    n, _ = b.shape
-    tm = min(tm, _round_up(m, 8))
-    tn = min(tn, _round_up(n, 128))
-    mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
-    ap = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
-    bp = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
+    ap, bp, (m, n, d), (tm, tn), (mp, np_, dp) = _tile_pad(a, b, tm, tn)
     rows, sq = pl.pallas_call(
         functools.partial(_stats_kernel, kernel=kernel, params=tuple(params),
                           m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
@@ -382,13 +377,7 @@ def _stats_bwd_kernel(a_ref, b_ref, u_ref, v_ref, csq_ref, da_ref, *,
 def _pair_stats_grad_a(a: Array, b: Array, u: Array, v: Array, c_sq: Array,
                        kernel: str, params, exclude_diag: bool,
                        tm: int = 256, tn: int = 512) -> Array:
-    m, d = a.shape
-    n, _ = b.shape
-    tm = min(tm, _round_up(m, 8))
-    tn = min(tn, _round_up(n, 128))
-    mp, np_, dp = _round_up(m, tm), _round_up(n, tn), _round_up(d, 128)
-    ap = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, dp - d)))
-    bp = jnp.pad(b.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
+    ap, bp, (m, n, d), (tm, tn), (mp, np_, dp) = _tile_pad(a, b, tm, tn)
     up = jnp.zeros((mp, 128), jnp.float32).at[:m, 0].set(
         u.astype(jnp.float32))
     vp = jnp.zeros((np_, 128), jnp.float32).at[:n, 0].set(

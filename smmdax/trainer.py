@@ -81,12 +81,9 @@ class Trainer:
              else cfg.no_of_samples)
         rng = jax.random.PRNGKey(cfg.random_seed + step)
         fake = np.asarray(sample(cfg, self.state, rng, n))
-        fake_probs = None
-        if hasattr(self._extractor, "features_and_probs"):
-            # one network sweep serves FID/KID (pool3) and IS (probs)
-            fake_feats, fake_probs = self._extractor.features_and_probs(fake)
-        else:
-            fake_feats = self._extractor(fake)
+        # one network sweep serves FID/KID (features) and IS (probs)
+        from smmdax.eval.features import extract_with_probs
+        fake_feats, fake_probs = extract_with_probs(self._extractor, fake)
         if self._real_feats is None:
             # fixed key: the scoring reference set is identical across
             # resumes (exact-resume extends to scheduler decisions)
@@ -128,8 +125,6 @@ class Trainer:
             subset_size=min(cfg.score_subset_size, n),
             n_subsets=cfg.score_subsets)
         out = {"fid": fid, "kid": kid, "kid_std": kid_std}
-        if fake_probs is None and hasattr(self._extractor, "probs"):
-            fake_probs = self._extractor.probs(fake)
         if fake_probs is not None:
             # Inception extractor: the reference logged IS alongside
             # FID/KID (SURVEY.md #10)
