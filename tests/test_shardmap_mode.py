@@ -72,6 +72,47 @@ def test_shardmap_step_runs_and_stays_replicated():
     assert int(state.step) == 2
 
 
+@pytest.mark.parametrize("model,gp,ring", [
+    ("mmd", 1.0, False),       # witness GP through gathered features
+    ("mmd", 1.0, True),        # witness GP alongside the ring estimator
+    ("wgan-gp", 1.0, False),   # WGAN-GP double backprop under shard_map
+])
+def test_shardmap_gp_step_runs_and_stays_replicated(model, gp, ring):
+    """GP-bearing losses under shard_map: double backprop through the
+    per-shard critic + collectives must run, stay finite, and keep the
+    replicated state bit-identical across shards (VERDICT r2 item 2b).
+
+    Per-shard-eps semantics (documented here as the normative
+    statement): inside shard_map each shard draws its OWN interpolation
+    eps from the shard-folded RNG (train._shard_rng), so the penalty is
+    the pmean of per-shard witness-GP estimates over local
+    interpolates.  That is an unbiased estimate of the same
+    global-batch penalty but NOT bit-equal to the single-device draw —
+    value parity is a GSPMD-mode guarantee (test_train.py), while
+    shard_map mode guarantees replicated, finite training."""
+    # two_sided: a fresh critic's witness grad norms are << 1, so the
+    # one-sided penalty would be exactly 0 and assert nothing
+    cfg = _tiny_cfg(model=model, gradient_penalty=gp, use_ring_mmd=ring,
+                    with_scaling=False, with_sn=False,
+                    gp_variant="two_sided")
+    source = make_dataset(cfg)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(N_DEV)
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, mesh=mesh,
+                          mode="shard_map")
+    for i in range(2):
+        batch = jnp.asarray(macro_batch_at(source, i, 2, cfg.batch_size))
+        state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert float(metrics["d_gp"]) > 0.0
+    for leaf in (jax.tree.leaves(state.d_params)[0],
+                 jax.tree.leaves(state.g_params)[0]):
+        vals = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for v in vals[1:]:
+            np.testing.assert_array_equal(vals[0], v)
+
+
 def test_sharded_tmmd_ring_loss_matches_global():
     """tmmd (t-ratio) under shard_map + ring variance stats == the
     single-device dense estimator (round 2: no gathered Gram blocks)."""

@@ -54,12 +54,22 @@ def test_determinism():
     assert m1 == m2
 
 
-def test_data_parallel_matches_single_device():
+@pytest.mark.parametrize("model,gp", [
+    ("mmd", 0.0),
+    # the GP-bearing losses differentiate through all_gather'ed
+    # features inside a grad-of-grad — exactly the construction that
+    # can break silently under GSPMD partitioning (VERDICT r2 item 2)
+    ("mmd", 1.0),
+    ("wgan-gp", 1.0),
+    ("smmd", 1.0),
+])
+def test_data_parallel_matches_single_device(model, gp):
     """The same global batch through a 8-shard mesh must produce the
     same losses and parameter updates as one device (to float32
     reduction tolerance)."""
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
-    cfg = _tiny_cfg(batch_size=16, num_data_shards=8)
+    cfg = _tiny_cfg(batch_size=16, num_data_shards=8, model=model,
+                    gradient_penalty=gp)
     ds = make_dataset(cfg)
     it = macro_batches(ds, cfg.dsteps + cfg.gsteps, cfg.batch_size)
     batches = [jnp.asarray(next(it)) for _ in range(2)]
