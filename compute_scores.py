@@ -74,7 +74,7 @@ def main(argv=None) -> None:
                 fid_semantics=fid_sem)
         if args.extractor == "random_conv":
             return RandomConvFeatures()
-        return get_feature_extractor(args.data_dir)
+        return get_feature_extractor(args.data_dir, fid_semantics=fid_sem)
 
     used = "precomputed"
     fake_probs = None

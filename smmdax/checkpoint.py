@@ -53,6 +53,12 @@ class CheckpointManager:
         ckptr = ocp.StandardCheckpointer()
         path = os.path.join(self._best_dir, "state")
         path_new, path_old = path + ".new", path + ".old"
+        if os.path.exists(path_old) and not os.path.exists(path):
+            # a prior crash landed between the two renames: state.old is
+            # the ONLY complete pair — promote it before anything is
+            # deleted, so a second crash during this save can never
+            # leave us with no best checkpoint at all
+            os.rename(path_old, path)
         for p in (path_new, path_old):
             if os.path.exists(p):
                 shutil.rmtree(p)

@@ -163,6 +163,11 @@ class Config:
     sample_every: int = 1000
     checkpoint_every: int = 2000
     data_dir: str = "./data"
+    lsun_category: str = ""         # LSUN scene/environment to train on
+                                    # (e.g. "bedroom_train"); empty = the
+                                    # single environment present, with an
+                                    # error if several are (the reference
+                                    # exposes the scene choice too)
     checkpoint_dir: str = "./checkpoints"
     sample_dir: str = "./samples"
     log_dir: str = "./logs"

@@ -233,16 +233,37 @@ class LSUNSource:
         return self.batch_u8(n, key).astype(np.float32) / 127.5 - 1.0
 
 
-def _find_lsun_lmdb(root: str) -> Optional[str]:
+def _find_lsun_lmdb(root: str, category: str = "") -> Optional[str]:
     """data_dir/lsun may BE an environment, or contain one or more
-    ``*_lmdb`` environment directories (the official LSUN layout)."""
+    ``*_lmdb`` environment directories (the official LSUN layout).
+
+    ``category`` selects the scene ("bedroom_train" matches
+    ``bedroom_train_lmdb`` or an exact directory name).  With several
+    environments present and no category this raises instead of
+    silently training on an arbitrary scene."""
     if not os.path.isdir(root):
         return None
     if os.path.exists(os.path.join(root, "data.mdb")):
         return root
     envs = sorted(d for d in os.listdir(root)
                   if os.path.exists(os.path.join(root, d, "data.mdb")))
-    return os.path.join(root, envs[0]) if envs else None
+    if category:
+        matches = [d for d in envs if d in (category, category + "_lmdb")]
+        if not matches:
+            raise FileNotFoundError(
+                f"lsun_category={category!r} not found under {root}; "
+                f"available environments: {envs}")
+        chosen = matches[0]
+    elif len(envs) > 1:
+        raise ValueError(
+            f"multiple LSUN environments under {root}: {envs}; select one "
+            "with --lsun_category")
+    elif envs:
+        chosen = envs[0]
+    else:
+        return None
+    print(f"[smmdax.data] LSUN environment: {chosen}")
+    return os.path.join(root, chosen)
 
 
 # ---------------------------------------------------------------------------
@@ -295,7 +316,8 @@ def make_dataset(cfg: Config) -> DataSource:
         if packed is not None:
             return ArraySource(packed, seed=cfg.random_seed)
         if ds == "lsun":
-            lmdb_env = _find_lsun_lmdb(os.path.join(cfg.data_dir, "lsun"))
+            lmdb_env = _find_lsun_lmdb(os.path.join(cfg.data_dir, "lsun"),
+                                       category=cfg.lsun_category)
             if lmdb_env is not None:
                 return LSUNSource(lmdb_env, cfg.output_size,
                                   seed=cfg.random_seed)

@@ -153,12 +153,18 @@ def find_inception_weights(data_dir: str = "./data") -> Optional[str]:
 
 
 def get_feature_extractor(data_dir: str = "./data",
-                          prefer_inception: bool = True) -> FeatureExtractor:
-    """Inception if its weights asset exists, else the offline extractor."""
+                          prefer_inception: bool = True,
+                          fid_semantics: Optional[bool] = None,
+                          ) -> FeatureExtractor:
+    """Inception if its weights asset exists, else the offline extractor.
+
+    ``fid_semantics`` is forwarded to InceptionFeatures (None =
+    auto-detect from the fc width) so callers like compute_scores.py's
+    default --extractor auto honor an explicit --fid_semantics."""
     path = find_inception_weights(data_dir)
     if prefer_inception and path is not None:
         try:
-            return InceptionFeatures(path)
+            return InceptionFeatures(path, fid_semantics=fid_semantics)
         except Exception as e:          # corrupt/mismatched file, ...
             print(f"[smmdax.eval] Inception load failed ({e}); "
                   "falling back to RandomConvFeatures")

@@ -182,6 +182,16 @@ def sobolev_scale(cfg: Config, critic: Critic, real: Array,
       bound on the Frobenius norm; ~dof_dim x cheaper.
     * ``hutchinson`` — unbiased ||J||_F^2 via one Rademacher probe v:
       E_v ||d(phi.v)/dx||^2 = ||J||_F^2; one backward pass per step.
+
+    Data-parallel semantics: under shard_map the rng is shard-folded
+    (train._shard_rng), so with ``hutchinson`` each shard draws its OWN
+    probe and sigma is the pmean of per-shard estimates — still an
+    unbiased estimate of the global ||J||_F^2 (with N independent
+    probes, LOWER variance than one shared probe), but not bit-equal to
+    the single-device draw.  Exact shard_map-vs-single-device sigma
+    parity therefore holds for ``exact`` (and ``sum``) only; the
+    hutchinson DP semantics are pinned by
+    tests/test_shardmap_mode.py::test_hutchinson_sigma_unbiased_under_dp.
     """
     est = cfg.scaling_grad_estimator
 

@@ -306,6 +306,12 @@ def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
     if mesh is None or len(mesh.devices.flat) == 1:
         step = build_train_step(cfg, dsteps, gsteps)
         return jax.jit(step, donate_argnums=(0,))
+    # The execution context is THIS mesh, whatever cfg.num_data_shards
+    # says (mesh and mode are independent arguments): pin the config's
+    # shard count to the mesh so trace-time dispatch decisions — the
+    # never-trace-pallas_call-inside-a-GSPMD-program guard in
+    # losses._pallas — key on reality, not on a possibly-stale config.
+    cfg = cfg.replace(num_data_shards=len(mesh.devices.flat))
     if mode == "shard_map":
         from jax.experimental.shard_map import shard_map
         n = len(mesh.devices.flat)
@@ -333,12 +339,10 @@ _SAMPLER_CACHE_MAX = 8    # bounded: a long sweep over many configs must
                           # not accumulate compiled executables forever
 
 
-def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
-    """Generate n images (eval mode: running BN averages).
-
-    The jitted sampler is memoized per config (LRU, bounded) — a fresh
-    jit per call would retrace and recompile at every scoring interval.
-    """
+def _cached_gen_batch(cfg: Config) -> Callable:
+    """Memoized jitted eval-mode generator apply (LRU, bounded) — a
+    fresh jit per call would retrace and recompile at every scoring /
+    visualization interval.  Shared by ``sample`` and ``interpolate``."""
     gen_batch = _SAMPLER_CACHE.pop(cfg, None)
     if gen_batch is not None:
         _SAMPLER_CACHE[cfg] = gen_batch          # re-insert: most recent
@@ -353,7 +357,12 @@ def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
         _SAMPLER_CACHE[cfg] = gen_batch
         while len(_SAMPLER_CACHE) > _SAMPLER_CACHE_MAX:
             _SAMPLER_CACHE.pop(next(iter(_SAMPLER_CACHE)))
+    return gen_batch
 
+
+def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
+    """Generate n images (eval mode: running BN averages)."""
+    gen_batch = _cached_gen_batch(cfg)
     outs = []
     bs = cfg.batch_size
     for i in range(0, n, bs):
@@ -367,15 +376,14 @@ def interpolate(cfg: Config, state: TrainState, rng: jax.Array,
                 rows: int = 8, cols: int = 8) -> Array:
     """Latent interpolation grid (the reference lineage's visualize
     option): each row is a linear walk in z between two random
-    endpoints, decoded in eval mode.  Returns (rows*cols, H, W, C)."""
-    from smmdax.nn import build_models
-    gen, _ = build_models(cfg)
+    endpoints, decoded in eval mode (through the same memoized jitted
+    apply as ``sample`` — per-call unjitted applies were the one
+    device-touching path that skipped jit).  Returns (rows*cols, ...)."""
+    gen_batch = _cached_gen_batch(cfg)
     k0, k1 = jax.random.split(rng)
     z0 = jax.random.uniform(k0, (rows, cfg.z_dim), minval=-1.0, maxval=1.0)
     z1 = jax.random.uniform(k1, (rows, cfg.z_dim), minval=-1.0, maxval=1.0)
     t = jnp.linspace(0.0, 1.0, cols)[None, :, None]       # (1, cols, 1)
     z = z0[:, None, :] * (1.0 - t) + z1[:, None, :] * t   # (rows, cols, z)
     z = z.reshape(rows * cols, cfg.z_dim)
-    imgs = gen.apply({"params": state.g_params,
-                      "batch_stats": state.g_batch_stats}, z, train=False)
-    return imgs
+    return gen_batch(state.g_params, state.g_batch_stats, z)

@@ -242,6 +242,14 @@ class Trainer:
                 signal.signal(signal.SIGINT, old_int)
         self.ckpt.save(int(self.state.step), jax.device_get(self.state),
                        wait=True)
+        if cfg.dataset == "gaussian_mix" and cfg.sample_every:
+            # stitch the per-interval witness frames into the animation
+            # artifact (reference §3.5's matplotlib animation)
+            from smmdax.viz import assemble_toy_animation
+            gif = assemble_toy_animation(
+                os.path.join(cfg.sample_dir, cfg.run_name()))
+            if gif:
+                print(f"[smmdax] toy animation: {gif}")
         return self.state
 
     def _train_loop(self, cfg, timer, step, q) -> None:

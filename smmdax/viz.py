@@ -69,3 +69,27 @@ def plot_toy_frame(cfg: Config, critic, real: Array, fake: Array,
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def assemble_toy_animation(out_dir: str,
+                           duration_ms: int = 200) -> Optional[str]:
+    """Stitch the per-interval toy frames into ``toy_animation.gif`` —
+    the file-artifact equivalent of the reference's live matplotlib
+    animation (SURVEY.md §3.5).  Returns the GIF path, or None when
+    fewer than two frames exist."""
+    try:
+        from PIL import Image
+    except Exception:
+        return None
+    frames = sorted(f for f in os.listdir(out_dir)
+                    if f.startswith("toy_") and f.endswith(".png"))
+    if len(frames) < 2:
+        return None
+    imgs = [Image.open(os.path.join(out_dir, f)).convert("P")
+            for f in frames]
+    path = os.path.join(out_dir, "toy_animation.gif")
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=duration_ms, loop=0)
+    for im in imgs:
+        im.close()
+    return path

@@ -158,6 +158,124 @@ def test_pack_image_dir(tmp_path):
     assert arr.shape == (4, 32, 32, 3) and arr.dtype == np.uint8
 
 
+def test_reader_decodes_hand_authored_golden(tmp_path):
+    """LMDBReader vs an independently hand-packed data.mdb: the bytes
+    are assembled HERE from the public LMDB struct layout (MDB_page /
+    MDB_node / MDB_meta in OpenLDAP's lmdb.h/mdb.c), deliberately NOT
+    via smmdax's write_lmdb, so a shared reader/writer misreading of
+    the real format cannot pass (ADVICE r2).  Layout (psize 4096,
+    64-bit little-endian):
+
+      page 0: meta, txnid 0        page 1: meta, txnid 1 (committed)
+      page 2: overflow (1 page) holding the 2000-byte value of "big"
+      page 3: leaf root with 3 sorted keys: alpha, big(F_BIGDATA), zeta
+    """
+    import struct
+    psize = 4096
+    alpha_v = b"the-first-value"
+    big_v = bytes((i * 7 + 3) % 256 for i in range(2000))   # overflow value
+    zeta_v = b"last"
+
+    # --- page 2: overflow page for "big" -------------------------------
+    # MDB_page header: mp_pgno(u64) mp_pad(u16) mp_flags(u16=P_OVERFLOW
+    # 0x04) then for overflow pages the lower/upper union is mp_pages(u32)
+    pg2 = bytearray(psize)
+    struct.pack_into("<QHHI", pg2, 0, 2, 0, 0x04, 1)
+    pg2[16:16 + len(big_v)] = big_v
+
+    # --- page 3: leaf root ---------------------------------------------
+    # MDB_node: mn_lo(u16) mn_hi(u16) mn_flags(u16) mn_ksize(u16) + key
+    # + data; leaf datasize = lo | hi<<16; F_BIGDATA (0x01) stores the
+    # overflow pgno (u64) as the data payload.  Node offsets are u16
+    # pointers from the page start, stored ascending by key; node bodies
+    # grow down from mp_upper.  mdb.c pads each node to even size.
+    def leaf_node(key: bytes, flags: int, data: bytes) -> bytes:
+        dsize = len(data)
+        raw = struct.pack("<HHHH", dsize & 0xFFFF, dsize >> 16, flags,
+                          len(key)) + key + data
+        # NODESIZE alignment: mdb.c rounds node sizes up to even
+        return raw + (b"\x00" if len(raw) & 1 else b"")
+
+    n_alpha = leaf_node(b"alpha", 0, alpha_v)
+    # F_BIGDATA: mn_lo/hi still hold the FULL value size; payload = pgno
+    n_big_payload = struct.pack("<Q", 2)
+    n_big = struct.pack("<HHHH", len(big_v) & 0xFFFF, len(big_v) >> 16,
+                        0x01, 3) + b"big" + n_big_payload
+    n_zeta = leaf_node(b"zeta", 0, zeta_v)
+
+    pg3 = bytearray(psize)
+    upper = psize
+    ptrs = []
+    for node in (n_alpha, n_big, n_zeta):   # already key-sorted
+        upper -= len(node)
+        ptrs.append(upper)
+        pg3[upper:upper + len(node)] = node
+    lower = 16 + 2 * 3
+    struct.pack_into("<QHHHH", pg3, 0, 3, 0, 0x02, lower, upper)  # P_LEAF
+    for i, p in enumerate(ptrs):
+        struct.pack_into("<H", pg3, 16 + 2 * i, p)
+
+    # --- meta pages ----------------------------------------------------
+    # MDB_meta after the 16-byte page header: mm_magic(u32 0xBEEFC0DE)
+    # mm_version(u32 1) mm_address(ptr u64) mm_mapsize(u64)
+    # mm_dbs[2] (MDB_db: md_pad u32, md_flags u16, md_depth u16,
+    #   md_branch_pages u64, md_leaf_pages u64, md_overflow_pages u64,
+    #   md_entries u64, md_root u64)  [mm_psize == mm_dbs[0].md_pad]
+    # mm_last_pg(u64) mm_txnid(u64)
+    def meta(pgno: int, txnid: int) -> bytes:
+        buf = bytearray(psize)
+        struct.pack_into("<QHHHH", buf, 0, pgno, 0, 0x08, 0, 0)  # P_META
+        o = 16
+        struct.pack_into("<IIQQ", buf, o, 0xBEEFC0DE, 1, 0, 1024 * psize)
+        o += 24
+        P_INVALID = 0xFFFFFFFFFFFFFFFF
+        struct.pack_into("<IHHQQQQQ", buf, o,      # FREE_DBI
+                         psize, 0, 0, 0, 0, 0, 0, P_INVALID)
+        o += 48
+        if txnid == 0:                             # pre-commit: empty main
+            struct.pack_into("<IHHQQQQQ", buf, o, 0, 0, 0, 0, 0, 0, 0,
+                             P_INVALID)
+        else:                                      # MAIN_DBI, committed
+            struct.pack_into("<IHHQQQQQ", buf, o, 0, 0, 1, 0, 1, 1, 3, 3)
+        o += 48
+        struct.pack_into("<QQ", buf, o, 3, txnid)  # mm_last_pg, mm_txnid
+        return bytes(buf)
+
+    env = tmp_path / "golden"
+    env.mkdir()
+    (env / "data.mdb").write_bytes(meta(0, 0) + meta(1, 1)
+                                   + bytes(pg2) + bytes(pg3))
+
+    r = LMDBReader(str(env))
+    assert len(r) == 3
+    assert [r.key(i) for i in range(3)] == [b"alpha", b"big", b"zeta"]
+    assert r.value(0) == alpha_v
+    assert r.value(1) == big_v
+    assert r.value(2) == zeta_v
+    r.close()
+
+
+def test_lsun_category_selection(tmp_path):
+    """Multiple LSUN environments: explicit --lsun_category picks the
+    scene; no category with several environments is an error, not an
+    arbitrary alphabetical pick (ADVICE r2)."""
+    from smmdax.data.pipeline import _find_lsun_lmdb
+    root = os.path.join(str(tmp_path), "lsun")
+    for env in ("bedroom_train_lmdb", "bridge_train_lmdb"):
+        write_lmdb(os.path.join(root, env), [(b"k", b"v")])
+    with pytest.raises(ValueError, match="lsun_category"):
+        _find_lsun_lmdb(root)
+    assert _find_lsun_lmdb(root, "bridge_train").endswith("bridge_train_lmdb")
+    assert _find_lsun_lmdb(
+        root, "bedroom_train_lmdb").endswith("bedroom_train_lmdb")
+    with pytest.raises(FileNotFoundError, match="tower"):
+        _find_lsun_lmdb(root, "tower_train")
+    # single environment: still auto-selected without a category
+    solo = os.path.join(str(tmp_path), "solo", "lsun")
+    write_lmdb(os.path.join(solo, "kitchen_train_lmdb"), [(b"k", b"v")])
+    assert _find_lsun_lmdb(solo).endswith("kitchen_train_lmdb")
+
+
 def test_roundtrip_deep_branch_tree(tmp_path):
     """Multiple branch LEVELS (small psize forces ~24 entries/leaf and
     ~27 refs/branch): LSUN-scale trees are deeper than one branch page."""

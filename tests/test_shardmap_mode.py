@@ -72,6 +72,41 @@ def test_shardmap_step_runs_and_stays_replicated():
     assert int(state.step) == 2
 
 
+def test_hutchinson_sigma_unbiased_under_dp():
+    """sigma with the hutchinson estimator under shard_map: each shard
+    draws its own Rademacher probe (rng is shard-folded), so the
+    pmean'd sigma is an N-probe unbiased estimate of the global
+    ||J||_F^2 — NOT bit-equal to the single-device single-probe draw.
+    This pins those semantics: averaging the sharded estimate over
+    probe draws must converge to the exact-jacrev sigma."""
+    from smmdax.losses import sobolev_scale
+    from smmdax.train import _shard_rng
+
+    cfg = _tiny_cfg(model="smmd", scaling_grad_estimator="hutchinson")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    real = jax.random.normal(k1, (16, 4, 4, 2)) * 0.5
+    w = jax.random.normal(k2, (4 * 4 * 2, 4)) * 0.3
+    critic = lambda x: jnp.tanh(x.reshape(x.shape[0], -1) @ w)
+
+    sigma_exact = float(sobolev_scale(
+        cfg.replace(scaling_grad_estimator="exact"), critic, real))
+
+    mesh = Mesh(np.array(jax.devices()[:N_DEV]), ("data",))
+    fn = jax.jit(shard_map(
+        lambda r, rng: jax.lax.pmean(
+            sobolev_scale(cfg, critic, r, rng=_shard_rng(rng, "data")),
+            "data"),
+        mesh=mesh, in_specs=(P("data"), P()), out_specs=P(),
+        check_rep=False))
+
+    draws = np.array([float(fn(real, jax.random.PRNGKey(1000 + i)))
+                      for i in range(48)])
+    # per-draw spread exists (it's an estimator)...
+    assert draws.std() > 0
+    # ...but the mean converges to the exact Frobenius sigma
+    assert draws.mean() == pytest.approx(sigma_exact, rel=0.05)
+
+
 @pytest.mark.parametrize("model,gp,ring", [
     ("mmd", 1.0, False),       # witness GP through gathered features
     ("mmd", 1.0, True),        # witness GP alongside the ring estimator

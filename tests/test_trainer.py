@@ -230,6 +230,31 @@ def test_resume_with_legacy_best_checkpoint_no_meta(tmp_path):
     assert "fid" in out
 
 
+def test_save_best_recovers_from_orphaned_old_state(tmp_path):
+    """A prior crash can leave ONLY best/state.old (between the two
+    renames of the swap).  The next save_best must promote it first —
+    never delete the sole surviving best checkpoint (ADVICE r2)."""
+    cfg = _cfg(str(tmp_path))
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(os.path.join(str(tmp_path), "ckbest"))
+    mgr.save_best(state, meta={"best_kid": 1.0, "best_step": 1})
+    best_dir = os.path.join(str(tmp_path), "ckbest", "best")
+    # simulate the crash window: state renamed away, state.new never landed
+    os.rename(os.path.join(best_dir, "state"),
+              os.path.join(best_dir, "state.old"))
+    assert mgr.restore_best(state) is not None       # .old is found
+    # a fresh save must go through cleanly AND the pre-save state must
+    # survive any point of it: promote-then-swap
+    state2 = create_state(cfg, jax.random.PRNGKey(1))
+    mgr.save_best(state2, meta={"best_kid": 0.5, "best_step": 2})
+    restored = mgr.restore_best(state)
+    assert restored is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.d_params)[0]),
+        np.asarray(jax.tree.leaves(state2.d_params)[0]))
+    assert mgr.best_meta()["best_step"] == 2
+
+
 def test_profiler_window_writes_trace(tmp_path):
     """cfg.profile_steps opens a jax.profiler window (SURVEY.md §5
     tracing row) and produces trace artifacts under log_dir/profile."""
