@@ -10,12 +10,22 @@ generator updates; images/sec counts the real images consumed per
 macro-step (batch * (dsteps + gsteps)) divided by wall time, i.e. the
 reference's per-sess.run batch accounting (SURVEY.md §6).
 
+Round-3 structure (VERDICT r2 items 1+3):
+
+* ``steps_per_dispatch`` sweep K in {1, 4, 8}: K macro-steps are fused
+  into ONE lax.scan'ed XLA program and ONE uint8 transfer, amortizing
+  the per-step host<->device round-trip that dominated the round-2 wall
+  step (21.4 ms device vs 36-56 ms wall).  The headline runs at the
+  best K from the sweep; per-K numbers are reported alongside.
+* batch-size sweep B in {128, 256, 512} at the best K, reporting MFU
+  per point — the measured answer to whether the B=64 step is
+  launch/HBM-bound (MFU should climb with B) or hiding an inefficiency.
+
 Robustness (VERDICT round-1 item 2): the tunneled link has ±20%
-run-to-run variance, so a single window is not defensible — this runs
-``N_WINDOWS`` independent timed windows and reports the MEDIAN as the
-headline (min/max recorded alongside).  FLOPs per macro-step come from
-XLA's compiled-module cost analysis, giving tflops/sec and MFU against
-the device's bf16 peak — the number round-2+ perf work is driven by.
+run-to-run variance, so the headline is the MEDIAN of ``N_WINDOWS``
+independent timed windows (min/max recorded alongside).  FLOPs per
+macro-step come from XLA's compiled-module cost analysis, giving
+tflops/sec and MFU against the device's bf16 peak.
 
 ``vs_baseline``: the reference lineage never published throughput and
 the reference mount is empty (BASELINE.md), so the baseline is our own
@@ -41,7 +51,9 @@ BASELINE_IMAGES_PER_SEC: float | None = 2369.78  # round-1, TPU v5e, 2026-08-16
 
 WARMUP_STEPS = 3
 N_WINDOWS = 5
-STEPS_PER_WINDOW = 60
+STEPS_PER_WINDOW = 64
+DISPATCH_SWEEP = (1, 4, 8)
+BATCH_SWEEP = (128, 256, 512)
 
 # Peak dense-matmul throughput per chip for MFU accounting.  Keys match
 # jax Device.device_kind.  TPU v5e (v5 lite): 197 TFLOP/s bf16.
@@ -52,7 +64,7 @@ PEAK_FLOPS = {
 
 
 def _flops_per_step(step, *example_args) -> float | None:
-    """XLA cost-analysis FLOPs of one compiled macro-step (f32-equiv)."""
+    """XLA cost-analysis FLOPs of one compiled program (f32-equiv)."""
     try:
         compiled = step.lower(*example_args).compile()
         ca = compiled.cost_analysis()
@@ -65,14 +77,8 @@ def _flops_per_step(step, *example_args) -> float | None:
         return None
 
 
-def main() -> None:
+def _flagship_cfg(batch_size: int = 64, k: int = 1):
     from smmdax.configs import Config
-    from smmdax.data import make_dataset
-    from smmdax.train import (create_state, enable_compilation_cache,
-                              jit_train_step)
-
-    enable_compilation_cache()
-
     # Production configuration: every headline feature on (spectral
     # norm, scaled MMD, RQ mixture) with the optimized execution paths —
     # bfloat16 conv compute (params/MMD math stay f32) and the unbiased
@@ -81,101 +87,176 @@ def main() -> None:
     # an unbiased one-probe estimate preserves training semantics).
     # Measured sweep (TPU v5e, round 1): f32+exact 164 ms/macro-step ->
     # bf16+hutchinson 53 ms (3.1x).
-    cfg = Config(model="sn-smmd", kernel="rq", architecture="resnet",
-                 dataset="synthetic", output_size=32, batch_size=64,
-                 dof_dim=16, dsteps=5, gsteps=1, random_seed=0,
-                 compute_dtype="bfloat16",
-                 scaling_grad_estimator="hutchinson")
-    per_step = cfg.dsteps + cfg.gsteps
+    return Config(model="sn-smmd", kernel="rq", architecture="resnet",
+                  dataset="synthetic", output_size=32, batch_size=batch_size,
+                  real_batch_size=batch_size,
+                  dof_dim=16, dsteps=5, gsteps=1, random_seed=0,
+                  compute_dtype="bfloat16",
+                  scaling_grad_estimator="hutchinson",
+                  steps_per_dispatch=k)
 
-    source = make_dataset(cfg)
 
-    def make_u8(step_idx: int) -> np.ndarray:
-        # fresh batches exactly like the trainer: uint8 transfer (4x
-        # less tunnel/PCIe traffic), de-quantized in-step; the source's
-        # fused batch_u8 path never materializes the float batch
-        flat = source.batch_u8(per_step * cfg.batch_size, key=step_idx)
-        return flat.reshape((per_step, cfg.batch_size) + flat.shape[1:])
+class _Harness:
+    """One (batch_size, steps_per_dispatch) benchmark arm: compiled
+    program + deterministic uint8 macro-batch maker."""
 
-    def macro_u8(step_idx: int):
-        return jnp.asarray(make_u8(step_idx))
+    def __init__(self, batch_size: int, k: int):
+        from smmdax.data import make_dataset
+        from smmdax.train import create_state, jit_train_step
+        self.cfg = _flagship_cfg(batch_size, k)
+        self.k = k
+        self.per_step = self.cfg.dsteps + self.cfg.gsteps
+        self.source = make_dataset(self.cfg)
+        self.state = create_state(self.cfg, jax.random.PRNGKey(0))
+        self.step = jit_train_step(self.cfg, self.cfg.dsteps, self.cfg.gsteps,
+                                   steps_per_dispatch=k)
+        self._flops = None
 
-    state = create_state(cfg, jax.random.PRNGKey(cfg.random_seed))
-    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    def make_u8(self, dispatch_idx: int) -> np.ndarray:
+        """One dispatch worth of fresh batches, exactly like the
+        trainer: uint8 transfer, de-quantized in-step, keyed by step."""
+        cfg, k = self.cfg, self.k
+        parts = []
+        for i in range(k):
+            flat = self.source.batch_u8(self.per_step * cfg.batch_size,
+                                        key=dispatch_idx * k + i)
+            parts.append(flat.reshape((self.per_step, cfg.batch_size)
+                                      + flat.shape[1:]))
+        return parts[0] if k == 1 else np.stack(parts)
 
-    # Timing discipline (this platform dispatches asynchronously and
-    # block_until_ready on a long dispatch chain has been observed to
-    # return early): warmup steps fetch a metric scalar each (forces
-    # compile + a true round-trip); each timed window streams fresh
-    # batches with NO per-step sync — the real training workload — and
-    # completion is verified by materializing parameters to host
-    # (device_get cannot return before the chain has executed).
-    t0 = time.time()
-    for i in range(WARMUP_STEPS):
-        state, metrics = step(state, macro_u8(i))
+    def warmup(self, n: int = WARMUP_STEPS) -> float:
+        t0 = time.time()
+        for i in range(n):
+            self.state, metrics = self.step(self.state, jnp.asarray(
+                self.make_u8(10_000 + i)))
+            float(metrics["d_loss_mmd2"])       # true round-trip per dispatch
+        self.last_metrics = metrics
+        return time.time() - t0
+
+    def flops_per_macro_step(self) -> float | None:
+        if self._flops is None:
+            f = _flops_per_step(self.step, self.state,
+                                jnp.asarray(self.make_u8(0)))
+            self._flops = f / self.k if f else None
+        return self._flops
+
+    def timed_window(self, macro_steps: int, feed) -> float:
+        """images/sec over one window; ``feed`` yields ready host
+        arrays (prefetch handled by the caller)."""
+        cfg = self.cfg
+        n_disp = macro_steps // self.k
+        t0 = time.time()
+        for _ in range(n_disp):
+            self.state, metrics = self.step(self.state, jnp.asarray(feed()))
+        # completion barrier that cannot return early on this
+        # async/tunneled platform: materialize parameters + a metric
+        _ = [float(jnp.sum(x)) for x in jax.tree.leaves(self.state.d_params)[:3]]
         float(metrics["d_loss_mmd2"])
-    compile_and_warmup = time.time() - t0
+        self.last_metrics = metrics
+        elapsed = time.time() - t0
+        return n_disp * self.k * self.per_step * cfg.batch_size / elapsed
 
-    flops = _flops_per_step(step, state, macro_u8(0))
 
-    # Host-side prefetch, exactly like the Trainer's producer thread
-    # (smmdax/trainer.py): batch assembly overlaps device execution, so
-    # the measurement is the device + transfer path — the real training
-    # workload — not host numpy speed (round-2 profile: the device
-    # macro-step is ~21 ms while inline host generation is ~15 ms; run
-    # inline they serialize to ~36 ms and understate the chip).
+def _prefetching_feed(harness: _Harness, n_dispatches: int, start: int = 0):
+    """Producer-thread prefetch, exactly like the Trainer: host batch
+    assembly overlaps device execution, so the measurement is the
+    device + transfer path, not host numpy speed."""
     import queue
     import threading
-    total_steps = N_WINDOWS * STEPS_PER_WINDOW
     q: "queue.Queue" = queue.Queue(maxsize=4)
 
     def _producer():
-        # host assembly only: device_put from this thread was measured
-        # SLOWER (contends with step dispatch on the tunneled link)
-        for i in range(WARMUP_STEPS, WARMUP_STEPS + total_steps):
-            q.put(make_u8(i))
+        for i in range(start, start + n_dispatches):
+            q.put(harness.make_u8(i))
 
     threading.Thread(target=_producer, daemon=True).start()
+    # bounded get: a dead producer must fail loudly, not hang the bench
+    # holding the one-process-at-a-time chip claim
+    return lambda: q.get(timeout=180)
 
-    window_ips = []
-    for _ in range(N_WINDOWS):
-        t0 = time.time()
-        for _ in range(STEPS_PER_WINDOW):
-            # bounded get: a dead producer must fail loudly, not hang
-            # the bench holding the one-process-at-a-time chip claim
-            state, metrics = step(state, jnp.asarray(q.get(timeout=120)))
-        _ = [float(jnp.sum(x)) for x in jax.tree.leaves(state.d_params)[:3]]
-        float(metrics["d_loss_mmd2"])
-        elapsed = time.time() - t0
-        window_ips.append(STEPS_PER_WINDOW * per_step * cfg.batch_size / elapsed)
 
-    ips = statistics.median(window_ips)
-    vs = ips / BASELINE_IMAGES_PER_SEC if BASELINE_IMAGES_PER_SEC else 1.0
-    step_ms = per_step * cfg.batch_size / ips * 1e3
-
-    result = {
-        "metric": "images/sec/chip (CIFAR-10 32x32 sn-smmd resnet train)",
-        "value": round(ips, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(vs, 4),
-        "windows": [round(w, 1) for w in window_ips],
-        "min": round(min(window_ips), 2),
-        "max": round(max(window_ips), 2),
-    }
+def _measure(harness: _Harness, windows: int, steps_per_window: int,
+             tag: str) -> dict:
+    total_disp = windows * steps_per_window // harness.k
+    feed = _prefetching_feed(harness, total_disp)
+    ips = []
+    for _ in range(windows):
+        ips.append(harness.timed_window(steps_per_window, feed))
+    med = statistics.median(ips)
+    out = {"images_per_sec": round(med, 2),
+           "windows": [round(w, 1) for w in ips],
+           "min": round(min(ips), 2), "max": round(max(ips), 2)}
+    flops = harness.flops_per_macro_step()
     dev = jax.devices()[0]
     peak = PEAK_FLOPS.get(dev.device_kind)
     if flops is not None:
-        tflops_sec = flops * (ips / (per_step * cfg.batch_size)) / 1e12
-        result["tflops_per_sec"] = round(tflops_sec, 2)
-        result["flops_per_macro_step"] = flops
+        tflops_sec = flops * (med / (harness.per_step
+                                     * harness.cfg.batch_size)) / 1e12
+        out["tflops_per_sec"] = round(tflops_sec, 2)
+        out["flops_per_macro_step"] = flops
         if peak is not None:
-            result["mfu"] = round(tflops_sec * 1e12 / peak, 4)
+            out["mfu"] = round(tflops_sec * 1e12 / peak, 4)
+    print(f"# {tag}: {med:.0f} img/s "
+          f"(windows={['%.0f' % w for w in ips]}, "
+          f"mfu={out.get('mfu', 'n/a')})")
+    return out
+
+
+def main() -> None:
+    from smmdax.train import enable_compilation_cache
+    enable_compilation_cache()
+
+    t_all = time.time()
+    # --- steps_per_dispatch sweep at the [SPEC] B=64 point ------------
+    sweep_k = {}
+    for k in DISPATCH_SWEEP:
+        h = _Harness(64, k)
+        wu = h.warmup()
+        sweep_k[k] = _measure(h, windows=2, steps_per_window=STEPS_PER_WINDOW,
+                              tag=f"K={k} B=64 (warmup+compile {wu:.0f}s)")
+        del h
+    best_k = max(sweep_k, key=lambda k: sweep_k[k]["images_per_sec"])
+
+    # --- headline: median of N_WINDOWS at the best K ------------------
+    h = _Harness(64, best_k)
+    h.warmup()
+    headline = _measure(h, windows=N_WINDOWS,
+                        steps_per_window=STEPS_PER_WINDOW,
+                        tag=f"headline K={best_k} B=64")
+    final_mmd2 = float(h.last_metrics["d_loss_mmd2"])
+    del h
+
+    # --- MFU ceiling: batch-size sweep at the best K ------------------
+    sweep_b = {}
+    for b in BATCH_SWEEP:
+        hb = _Harness(b, best_k)
+        wu = hb.warmup(2)
+        # fewer macro-steps: each consumes B/64 x the images
+        n = max(2 * best_k, STEPS_PER_WINDOW * 64 // b)
+        sweep_b[b] = _measure(hb, windows=2, steps_per_window=n,
+                              tag=f"B={b} K={best_k} (warmup+compile {wu:.0f}s)")
+        del hb
+
+    ips = headline["images_per_sec"]
+    vs = ips / BASELINE_IMAGES_PER_SEC if BASELINE_IMAGES_PER_SEC else 1.0
+    result = {
+        "metric": "images/sec/chip (CIFAR-10 32x32 sn-smmd resnet train)",
+        "value": ips,
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 4),
+        "steps_per_dispatch": best_k,
+        **{k: v for k, v in headline.items() if k != "images_per_sec"},
+        "dispatch_sweep": {str(k): v["images_per_sec"]
+                           for k, v in sweep_k.items()},
+        "batch_sweep": {str(b): {"images_per_sec": v["images_per_sec"],
+                                 "mfu": v.get("mfu")}
+                        for b, v in sweep_b.items()},
+    }
+    dev = jax.devices()[0]
     print(json.dumps(result))
     print(f"# device={dev.device_kind} platform={dev.platform} "
-          f"warmup+compile={compile_and_warmup:.1f}s "
-          f"macro_step={step_ms:.1f}ms "
-          f"windows(img/s)={['%.0f' % w for w in window_ips]} "
-          f"final_mmd2={float(metrics['d_loss_mmd2']):.5f}")
+          f"best_k={best_k} total_bench_time={time.time() - t_all:.0f}s "
+          f"final_mmd2={final_mmd2:.5f}")
 
 
 if __name__ == "__main__":

@@ -141,6 +141,22 @@ class Config:
                                          # (BASELINE.md round 2), so off by
                                          # default; may win on larger
                                          # images / non-tunneled hardware
+    steps_per_dispatch: int = 1          # macro-steps fused into ONE jitted
+                                         # dispatch (lax.scan) and ONE
+                                         # host->device batch transfer.
+                                         # Amortizes per-step dispatch +
+                                         # transfer latency (the dominant
+                                         # non-device cost on tunneled/PCIe
+                                         # links — BASELINE.md r2 roofline:
+                                         # 21 ms device vs 36-56 ms wall).
+                                         # Math is unchanged: batches are a
+                                         # pure function of (seed, step) and
+                                         # the scan chains the same per-step
+                                         # programs, so K>1 is bit-identical
+                                         # to K=1 (tested).  The trainer
+                                         # clips each dispatch at event
+                                         # boundaries (log/sample/ckpt/score)
+                                         # so cadences are unaffected.
     compute_dtype: str = "float32"       # bfloat16 for MXU-heavy conv paths
     remat: bool = False                  # rematerialize critic forwards in
                                          # backward passes (HBM for FLOPs —
@@ -191,6 +207,8 @@ class Config:
                 f"scaling_grad_estimator must be one of {GRAD_ESTIMATORS}")
         if self.dp_mode not in ("gspmd", "shard_map"):
             raise ValueError("dp_mode must be gspmd or shard_map")
+        if self.steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
         up = self.use_pallas
         if isinstance(up, bool):
             up = "on" if up else "off"

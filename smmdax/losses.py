@@ -60,6 +60,12 @@ def _kernel_params(cfg: Config):
     return cfg.rbf_sigmas if cfg.kernel == "gaussian" else cfg.rq_alphas
 
 
+def _add_dot(cfg: Config) -> float:
+    """Effective mix_rq_dot weight: rq only, mirroring
+    kernels.kernel_matrices (other kernels ignore the flag)."""
+    return cfg.kernel_add_dot if cfg.kernel == "rq" else 0.0
+
+
 def _pallas(cfg: Config, f_a: Array, f_b: Array,
             axis_name: Optional[str]) -> bool:
     """Static (trace-time) fused-vs-dense decision for the Gram blocks
@@ -77,8 +83,6 @@ def _pallas(cfg: Config, f_a: Array, f_b: Array,
     """
     if axis_name is None and cfg.num_data_shards > 1:
         return False
-    if cfg.kernel_add_dot:           # non-constant diagonal: dense only
-        return False
     from smmdax.pallas.dispatch import should_use_pallas
     return should_use_pallas(cfg.use_pallas, cfg.kernel,
                              f_a.shape[0], f_b.shape[0],
@@ -86,10 +90,12 @@ def _pallas(cfg: Config, f_a: Array, f_b: Array,
 
 
 def _ring_eligible(cfg: Config, axis_name: Optional[str]) -> bool:
-    """The ring estimators serve constant-diagonal kernels inside
-    shard_map bodies (kernel_add_dot makes the diagonal data-dependent)."""
+    """The ring estimators serve the mixture kernels inside shard_map
+    bodies — including the rq+add_dot (mix_rq_dot) variant, whose
+    data-dependent diagonal the ring/Pallas paths handle explicitly
+    (smmdax.parallel.ring docs)."""
     return (axis_name is not None and cfg.use_ring_mmd
-            and cfg.kernel in RING_KERNELS and not cfg.kernel_add_dot)
+            and cfg.kernel in RING_KERNELS)
 
 
 def _critic_features(cfg: Config, critic: Critic,
@@ -137,7 +143,8 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
         # cheap non-global variant; the [SPEC] default is global)
         if _pallas(cfg, f_fake, f_real, axis_name):
             from smmdax.pallas import fused_mmd2
-            local = fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg))
+            local = fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg),
+                               add_dot=_add_dot(cfg))
         else:
             local = mmd2(_blocks(cfg, f_fake, f_real))
         return jax.lax.pmean(local, axis_name)
@@ -146,12 +153,14 @@ def mmd2_objective(cfg: Config, f_fake: Array, f_real: Array,
         # the ring's pair sums see (local_b, local_b) blocks
         return ring_mmd2(f_fake, f_real, axis_name, cfg.kernel,
                          rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
-                         use_pallas=_pallas(cfg, f_fake, f_real, axis_name))
+                         use_pallas=_pallas(cfg, f_fake, f_real, axis_name),
+                         add_dot=_add_dot(cfg))
     f_fake = _gather(f_fake, axis_name)
     f_real = _gather(f_real, axis_name)
     if _pallas(cfg, f_fake, f_real, axis_name):
         from smmdax.pallas import fused_mmd2
-        return fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg))
+        return fused_mmd2(f_fake, f_real, cfg.kernel, _kernel_params(cfg),
+                          add_dot=_add_dot(cfg))
     return mmd2(_blocks(cfg, f_fake, f_real))
 
 
@@ -323,7 +332,8 @@ def critic_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
             mmd2_val, objective = ring_mmd2_and_ratio(
                 f_fake, f_real, axis_name, cfg.kernel,
                 rbf_sigmas=cfg.rbf_sigmas, rq_alphas=cfg.rq_alphas,
-                use_pallas=_pallas(cfg, f_fake, f_real, axis_name))
+                use_pallas=_pallas(cfg, f_fake, f_real, axis_name),
+                add_dot=_add_dot(cfg))
         else:
             # dense path: the variance estimator over full Gram blocks
             blocks = _blocks(cfg, _gather(f_fake, axis_name),

@@ -61,7 +61,11 @@ def _tile_pad(a: Array, b: Array, tm: int, tn: int):
     return ap, bp, (m, n, d), (tm, tn), (mp, np_, dp)
 
 
-def _mixture_k(d2, kernel: str, params: Sequence[float]):
+def _mixture_k(d2, kernel: str, params: Sequence[float],
+               add_dot: float = 0.0, dot=None):
+    """Mixture kernel value; ``add_dot`` adds ``add_dot * <a, b>`` (the
+    lineage's mix_rq_dot variant — rq only, matching
+    kernels.kernel_matrices), with ``dot`` the raw a@b.T block."""
     k = jnp.zeros_like(d2)
     if kernel == "gaussian":
         for s in params:
@@ -70,12 +74,22 @@ def _mixture_k(d2, kernel: str, params: Sequence[float]):
         for a in params:
             a = float(a)
             k += jnp.exp(-a * jnp.log1p(d2 / (2.0 * a)))
+        if add_dot:
+            k += add_dot * dot
     elif kernel == "distance":
         # energy-distance kernel k = -||x - y|| (params unused)
         k = -jnp.sqrt(d2 + _DIST_EPS)
     else:
         raise ValueError(kernel)
     return k
+
+
+def _dists(a, b):
+    """(clamped squared distances, raw dot block) via one MXU matmul."""
+    dot = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    d2 = (jnp.sum(a * a, axis=1, keepdims=True)
+          + jnp.sum(b * b, axis=1, keepdims=True).T - 2.0 * dot)
+    return jnp.maximum(d2, 0.0), dot
 
 
 def _mixture_g(d2, kernel: str, params: Sequence[float]):
@@ -110,7 +124,7 @@ def kernel_diag(kernel: str, params: Sequence[float]) -> float:
 
 
 def _fwd_kernel(a_ref, b_ref, out_ref, *, kernel, params, m, n, tm, tn,
-                exclude_diag):
+                exclude_diag, add_dot):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -120,11 +134,8 @@ def _fwd_kernel(a_ref, b_ref, out_ref, *, kernel, params, m, n, tm, tn,
 
     a = a_ref[...]                    # (TM, D)
     b = b_ref[...]                    # (TN, D)
-    d2 = (jnp.sum(a * a, axis=1, keepdims=True)
-          + jnp.sum(b * b, axis=1, keepdims=True).T
-          - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32))
-    d2 = jnp.maximum(d2, 0.0)
-    k = _mixture_k(d2, kernel, params)
+    d2, dot = _dists(a, b)
+    k = _mixture_k(d2, kernel, params, add_dot, dot)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0) + i * tm
     cols = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) + j * tn
@@ -135,11 +146,12 @@ def _fwd_kernel(a_ref, b_ref, out_ref, *, kernel, params, m, n, tm, tn,
 
 
 def _pair_sum(a: Array, b: Array, kernel: str, params, exclude_diag: bool,
-              tm: int = 256, tn: int = 512) -> Array:
+              tm: int = 256, tn: int = 512, add_dot: float = 0.0) -> Array:
     a, b, (m, n, d), (tm, tn), (mp, np_, dp) = _tile_pad(a, b, tm, tn)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, kernel=kernel, params=tuple(params),
-                          m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
+                          m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag,
+                          add_dot=float(add_dot)),
         grid=(mp // tm, np_ // tn),
         in_specs=[
             pl.BlockSpec((tm, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -157,15 +169,12 @@ def _pair_sum(a: Array, b: Array, kernel: str, params, exclude_diag: bool,
 
 
 def _bwd_kernel(a_ref, b_ref, da_ref, *, kernel, params, m, n, tm, tn,
-                exclude_diag):
+                exclude_diag, add_dot):
     i = pl.program_id(0)
     j = pl.program_id(1)
     a = a_ref[...]
     b = b_ref[...]
-    d2 = (jnp.sum(a * a, axis=1, keepdims=True)
-          + jnp.sum(b * b, axis=1, keepdims=True).T
-          - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32))
-    d2 = jnp.maximum(d2, 0.0)
+    d2, _ = _dists(a, b)
     g = _mixture_g(d2, kernel, params)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + i * tm
@@ -173,10 +182,14 @@ def _bwd_kernel(a_ref, b_ref, da_ref, *, kernel, params, m, n, tm, tn,
     mask = (rows < m) & (cols < n)
     if exclude_diag:
         mask &= rows != cols
-    g = jnp.where(mask, g, 0.0)
 
-    rowsum = jnp.sum(g, axis=1, keepdims=True)           # (TM, 1)
-    gb = jnp.dot(g, b, preferred_element_type=jnp.float32)  # (TM, D)
+    # dk/da_i = g * 2(a_i - b_j) [+ add_dot * b_j]; the wrapper folds
+    # the global factor 2, so the dot term rides the matmul operand as
+    # -(add_dot/2): part = rowsum(g)*a - (g - add_dot/2) @ b
+    grow = jnp.where(mask, g, 0.0)
+    gmat = grow if not add_dot else jnp.where(mask, g - 0.5 * add_dot, 0.0)
+    rowsum = jnp.sum(grow, axis=1, keepdims=True)           # (TM, 1)
+    gb = jnp.dot(gmat, b, preferred_element_type=jnp.float32)  # (TM, D)
     part = rowsum * a - gb
 
     # column tiles accumulate into the same row-block of da (grid runs
@@ -191,13 +204,16 @@ def _bwd_kernel(a_ref, b_ref, da_ref, *, kernel, params, m, n, tm, tn,
 
 
 def _pair_sum_grad_a(a: Array, b: Array, kernel: str, params,
-                     exclude_diag: bool, tm: int = 256, tn: int = 512) -> Array:
+                     exclude_diag: bool, tm: int = 256, tn: int = 512,
+                     add_dot: float = 0.0) -> Array:
     """d/da of sum_{ij} k(d2(a_i, b_j)) WITHOUT the cotangent/pair
-    factor: returns sum_j g_ij (a_i - b_j), shape of a."""
+    factor: returns sum_j g_ij (a_i - b_j) [+ (add_dot/2) b_j], shape
+    of a."""
     ap, bp, (m, n, d), (tm, tn), (mp, np_, dp) = _tile_pad(a, b, tm, tn)
     da = pl.pallas_call(
         functools.partial(_bwd_kernel, kernel=kernel, params=tuple(params),
-                          m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
+                          m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag,
+                          add_dot=float(add_dot)),
         grid=(mp // tm, np_ // tn),
         in_specs=[
             pl.BlockSpec((tm, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -215,16 +231,18 @@ def _pair_sum_grad_a(a: Array, b: Array, kernel: str, params,
 # public: custom-vjp'd sufficient statistics + mmd2
 
 
-def make_fused_mmd_sums(kernel: str, params: Sequence[float]):
+def make_fused_mmd_sums(kernel: str, params: Sequence[float],
+                        add_dot: float = 0.0):
     """Returns fused_sums(x, y) -> (sum_xx_offdiag, sum_yy_offdiag,
     sum_xy), differentiable w.r.t. x and y (first order)."""
     params = tuple(float(p) for p in params)
+    add_dot = float(add_dot)
 
     @jax.custom_vjp
     def fused_sums(x, y):
-        return (_pair_sum(x, x, kernel, params, True),
-                _pair_sum(y, y, kernel, params, True),
-                _pair_sum(x, y, kernel, params, False))
+        return (_pair_sum(x, x, kernel, params, True, add_dot=add_dot),
+                _pair_sum(y, y, kernel, params, True, add_dot=add_dot),
+                _pair_sum(x, y, kernel, params, False, add_dot=add_dot))
 
     def fwd(x, y):
         return fused_sums(x, y), (x, y)
@@ -234,11 +252,17 @@ def make_fused_mmd_sums(kernel: str, params: Sequence[float]):
         c_xx, c_yy, c_xy = cots
         # sum_xx: each unordered pair appears twice; d/dx_i picks up the
         # (i,j) and (j,i) terms -> factor 4 on g_ij (x_i - x_j) with the
-        # "2" from d(d2)/dx = 2(x_i - x_j) folded in.
-        dx = (4.0 * c_xx) * _pair_sum_grad_a(x, x, kernel, params, True)
-        dx += (2.0 * c_xy) * _pair_sum_grad_a(x, y, kernel, params, False)
-        dy = (4.0 * c_yy) * _pair_sum_grad_a(y, y, kernel, params, True)
-        dy += (2.0 * c_xy) * _pair_sum_grad_a(y, x, kernel, params, False)
+        # "2" from d(d2)/dx = 2(x_i - x_j) folded in.  (The same pair
+        # symmetry makes the dot term's b_j contributions pair up with
+        # the right multiplicity inside _pair_sum_grad_a.)
+        dx = (4.0 * c_xx) * _pair_sum_grad_a(x, x, kernel, params, True,
+                                             add_dot=add_dot)
+        dx += (2.0 * c_xy) * _pair_sum_grad_a(x, y, kernel, params, False,
+                                              add_dot=add_dot)
+        dy = (4.0 * c_yy) * _pair_sum_grad_a(y, y, kernel, params, True,
+                                             add_dot=add_dot)
+        dy += (2.0 * c_xy) * _pair_sum_grad_a(y, x, kernel, params, False,
+                                              add_dot=add_dot)
         return dx, dy
 
     fused_sums.defvjp(fwd, bwd)
@@ -247,20 +271,28 @@ def make_fused_mmd_sums(kernel: str, params: Sequence[float]):
 
 def fused_mmd2(x: Array, y: Array, kernel: str = "rq",
                params: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
-               biased: bool = False) -> Array:
+               biased: bool = False, add_dot: float = 0.0) -> Array:
     """Unbiased (or biased) MMD^2 via the fused Pallas path.
 
     Semantically identical to smmdax.kernels.mmd2(kernel_matrices(...))
-    for constant-diagonal mixtures — the jnp oracle in the tests.
+    — the jnp oracle in the tests.  With ``add_dot`` the diagonal is
+    data-dependent (k(x,x) = const + add_dot*||x||^2); the unbiased
+    estimator's masked sums exclude it exactly, and the biased path
+    adds the computed per-row diagonal back.
     """
     m = jnp.float32(x.shape[0])
     n = jnp.float32(y.shape[0])
-    sums = make_fused_mmd_sums(kernel, params)(x, y)
+    sums = make_fused_mmd_sums(kernel, params, add_dot)(x, y)
     s_xx, s_yy, s_xy = sums
     if biased:
         k_diag = kernel_diag(kernel, params)
-        return ((s_xx + x.shape[0] * k_diag) / (m * m)
-                + (s_yy + y.shape[0] * k_diag) / (n * n)
+        diag_xx = x.shape[0] * k_diag
+        diag_yy = y.shape[0] * k_diag
+        if add_dot:
+            diag_xx = diag_xx + add_dot * jnp.sum(x.astype(jnp.float32) ** 2)
+            diag_yy = diag_yy + add_dot * jnp.sum(y.astype(jnp.float32) ** 2)
+        return ((s_xx + diag_xx) / (m * m)
+                + (s_yy + diag_yy) / (n * n)
                 - 2.0 * s_xy / (m * n))
     return (s_xx / (m * (m - 1.0)) + s_yy / (n * (n - 1.0))
             - 2.0 * s_xy / (m * n))
@@ -274,16 +306,13 @@ def fused_mmd2(x: Array, y: Array, kernel: str = "rq",
 
 
 def _stats_kernel(a_ref, b_ref, rows_ref, sq_ref, *, kernel,
-                  params, m, n, tm, tn, exclude_diag):
+                  params, m, n, tm, tn, exclude_diag, add_dot):
     i = pl.program_id(0)
     j = pl.program_id(1)
     a = a_ref[...]
     b = b_ref[...]
-    d2 = (jnp.sum(a * a, axis=1, keepdims=True)
-          + jnp.sum(b * b, axis=1, keepdims=True).T
-          - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32))
-    d2 = jnp.maximum(d2, 0.0)
-    k = _mixture_k(d2, kernel, params)
+    d2, dot = _dists(a, b)
+    k = _mixture_k(d2, kernel, params, add_dot, dot)
     rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0) + i * tm
     cols = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) + j * tn
     mask = (rows < m) & (cols < n)
@@ -315,11 +344,13 @@ def _stats_kernel(a_ref, b_ref, rows_ref, sq_ref, *, kernel,
 
 
 def _pair_stats_fwd(a: Array, b: Array, kernel: str, params,
-                    exclude_diag: bool, tm: int = 256, tn: int = 512):
+                    exclude_diag: bool, tm: int = 256, tn: int = 512,
+                    add_dot: float = 0.0):
     ap, bp, (m, n, d), (tm, tn), (mp, np_, dp) = _tile_pad(a, b, tm, tn)
     rows, sq = pl.pallas_call(
         functools.partial(_stats_kernel, kernel=kernel, params=tuple(params),
-                          m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag),
+                          m=m, n=n, tm=tm, tn=tn, exclude_diag=exclude_diag,
+                          add_dot=float(add_dot)),
         grid=(mp // tm, np_ // tn),
         in_specs=[
             pl.BlockSpec((tm, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -339,19 +370,17 @@ def _pair_stats_fwd(a: Array, b: Array, kernel: str, params,
 
 
 def _stats_bwd_kernel(a_ref, b_ref, u_ref, v_ref, csq_ref, da_ref, *,
-                      kernel, params, m, n, tm, tn, exclude_diag):
+                      kernel, params, m, n, tm, tn, exclude_diag, add_dot):
     """da of S = sum_i u_i row_i + sum_j v_j col_j + c_sq sum k^2:
-    da_i = 2 sum_j (u_i + v_j + 2 c_sq k_ij) g_ij (a_i - b_j)  [without
-    the leading 2 — the wrapper folds pair factors]."""
+    da_i = 2 sum_j coeff_ij [g_ij (a_i - b_j) + (add_dot/2) b_j] with
+    coeff = u_i + v_j + 2 c_sq k_ij  [without the leading 2 — the
+    wrapper folds pair factors]."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     a = a_ref[...]
     b = b_ref[...]
-    d2 = (jnp.sum(a * a, axis=1, keepdims=True)
-          + jnp.sum(b * b, axis=1, keepdims=True).T
-          - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32))
-    d2 = jnp.maximum(d2, 0.0)
-    k = _mixture_k(d2, kernel, params)
+    d2, dot = _dists(a, b)
+    k = _mixture_k(d2, kernel, params, add_dot, dot)
     g = _mixture_g(d2, kernel, params)
     rows = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + i * tm
     cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1) + j * tn
@@ -361,9 +390,13 @@ def _stats_bwd_kernel(a_ref, b_ref, u_ref, v_ref, csq_ref, da_ref, *,
     u = u_ref[...][:, 0:1]                      # (TM, 1)
     v = v_ref[...][:, 0:1].T                    # (1, TN)
     csq = csq_ref[0, 0]
-    t = jnp.where(mask, (u + v + 2.0 * csq * k) * g, 0.0)
+    coeff = u + v + 2.0 * csq * k
+    t = jnp.where(mask, coeff * g, 0.0)
+    # the dot term's b_j rides the matmul operand as -(add_dot/2)*coeff
+    tmat = t if not add_dot else jnp.where(
+        mask, coeff * (g - 0.5 * add_dot), 0.0)
     part = jnp.sum(t, axis=1, keepdims=True) * a \
-        - jnp.dot(t, b, preferred_element_type=jnp.float32)
+        - jnp.dot(tmat, b, preferred_element_type=jnp.float32)
 
     @pl.when(j == 0)
     def _():
@@ -376,7 +409,8 @@ def _stats_bwd_kernel(a_ref, b_ref, u_ref, v_ref, csq_ref, da_ref, *,
 
 def _pair_stats_grad_a(a: Array, b: Array, u: Array, v: Array, c_sq: Array,
                        kernel: str, params, exclude_diag: bool,
-                       tm: int = 256, tn: int = 512) -> Array:
+                       tm: int = 256, tn: int = 512,
+                       add_dot: float = 0.0) -> Array:
     ap, bp, (m, n, d), (tm, tn), (mp, np_, dp) = _tile_pad(a, b, tm, tn)
     up = jnp.zeros((mp, 128), jnp.float32).at[:m, 0].set(
         u.astype(jnp.float32))
@@ -386,7 +420,7 @@ def _pair_stats_grad_a(a: Array, b: Array, u: Array, v: Array, c_sq: Array,
     da = pl.pallas_call(
         functools.partial(_stats_bwd_kernel, kernel=kernel,
                           params=tuple(params), m=m, n=n, tm=tm, tn=tn,
-                          exclude_diag=exclude_diag),
+                          exclude_diag=exclude_diag, add_dot=float(add_dot)),
         grid=(mp // tm, np_ // tn),
         in_specs=[
             pl.BlockSpec((tm, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -403,7 +437,8 @@ def _pair_stats_grad_a(a: Array, b: Array, u: Array, v: Array, c_sq: Array,
     return da[:m, :d]
 
 
-def make_row_stats(kernel: str, params: Sequence[float], exclude_diag: bool):
+def make_row_stats(kernel: str, params: Sequence[float], exclude_diag: bool,
+                   add_dot: float = 0.0):
     """Differentiable fused block statistics:
 
         row_stats(a, b) -> (row_sums (m,), sum_sq ())
@@ -419,12 +454,15 @@ def make_row_stats(kernel: str, params: Sequence[float], exclude_diag: bool):
         dS/da_i = 2 sum_j (u_i + 2 c k_ij) g_ij (a_i - b_j)
 
     (u, c the cotangents of rows/sum_sq; g = dk/d(d2); the factor 2
-    from d(d2)/da folded in the wrapper)."""
+    from d(d2)/da folded in the wrapper).  ``add_dot`` extends the
+    mixture with the mix_rq_dot term (value + both VJP sides)."""
     params = tuple(float(p) for p in params)
+    add_dot = float(add_dot)
 
     @jax.custom_vjp
     def row_stats(a, b):
-        return _pair_stats_fwd(a, b, kernel, params, exclude_diag)
+        return _pair_stats_fwd(a, b, kernel, params, exclude_diag,
+                               add_dot=add_dot)
 
     def fwd(a, b):
         return row_stats(a, b), (a, b)
@@ -434,23 +472,24 @@ def make_row_stats(kernel: str, params: Sequence[float], exclude_diag: bool):
         u, c_sq = cots
         zn = jnp.zeros((b.shape[0],), jnp.float32)
         da = 2.0 * _pair_stats_grad_a(a, b, u, zn, c_sq, kernel, params,
-                                      exclude_diag)
+                                      exclude_diag, add_dot=add_dot)
         # dS/db_j: swapped call — b's own rows carry no cotangent (zn in
         # the u slot), u rides the v slot indexing a's rows
         db = 2.0 * _pair_stats_grad_a(b, a, zn, u, c_sq, kernel, params,
-                                      exclude_diag)
+                                      exclude_diag, add_dot=add_dot)
         return da, db
 
     row_stats.defvjp(fwd, bwd)
     return row_stats
 
 
-def make_pair_stats(kernel: str, params: Sequence[float], exclude_diag: bool):
+def make_pair_stats(kernel: str, params: Sequence[float], exclude_diag: bool,
+                    add_dot: float = 0.0):
     """(row_sums, col_sums, sum_sq) of a masked Gram block — two
     row-stats sweeps (cols = rows of the swapped block).  Convenience /
     test surface; the ring estimator calls make_row_stats directly and
     skips the col sweep for the blocks that don't need it."""
-    rs = make_row_stats(kernel, params, exclude_diag)
+    rs = make_row_stats(kernel, params, exclude_diag, add_dot=add_dot)
 
     def pair_stats(a, b):
         rows, sq = rs(a, b)
@@ -460,7 +499,8 @@ def make_pair_stats(kernel: str, params: Sequence[float], exclude_diag: bool):
     return pair_stats
 
 
-def make_pair_sum(kernel: str, params: Sequence[float], exclude_diag: bool):
+def make_pair_sum(kernel: str, params: Sequence[float], exclude_diag: bool,
+                  add_dot: float = 0.0):
     """Differentiable fused S(a, b) = sum_{ij} mask * k(d2(a_i, b_j)).
 
     The building block the ring estimator tiles over ICI: each shard
@@ -470,18 +510,22 @@ def make_pair_sum(kernel: str, params: Sequence[float], exclude_diag: bool):
     cotangents add up to the correct factor-4 pair gradient.
     """
     params = tuple(float(p) for p in params)
+    add_dot = float(add_dot)
 
     @jax.custom_vjp
     def pair_sum(a, b):
-        return _pair_sum(a, b, kernel, params, exclude_diag)
+        return _pair_sum(a, b, kernel, params, exclude_diag,
+                         add_dot=add_dot)
 
     def fwd(a, b):
         return pair_sum(a, b), (a, b)
 
     def bwd(res, c):
         a, b = res
-        da = (2.0 * c) * _pair_sum_grad_a(a, b, kernel, params, exclude_diag)
-        db = (2.0 * c) * _pair_sum_grad_a(b, a, kernel, params, exclude_diag)
+        da = (2.0 * c) * _pair_sum_grad_a(a, b, kernel, params, exclude_diag,
+                                          add_dot=add_dot)
+        db = (2.0 * c) * _pair_sum_grad_a(b, a, kernel, params, exclude_diag,
+                                          add_dot=add_dot)
         return da, db
 
     pair_sum.defvjp(fwd, bwd)

@@ -28,18 +28,25 @@ from smmdax.kernels.mmd import (MMDSums, VarStats, mmd2_and_variance_from_stats,
 
 Array = jnp.ndarray
 
-# Constant-diagonal kernels the ring estimators (and their fused Pallas
-# block paths) support; dot is excluded (data-dependent diagonal).
+# Kernels the ring estimators (and their fused Pallas block paths)
+# support.  The mixtures have constant diagonals; the rq+add_dot
+# (mix_rq_dot) variant's data-dependent diagonal k(x,x) = const +
+# w*||x||^2 is handled explicitly (masked exclusion / computed traces /
+# psum'd norm sums), so it rides every ring path too.  Only the pure
+# dot kernel stays dense.
 RING_KERNELS = ("gaussian", "rq", "distance")
 
 
 def _block_sum(name: str, a: Array, b: Array, exclude_diag: bool,
-               rbf_sigmas, rq_alphas, use_pallas: bool = False) -> Array:
+               rbf_sigmas, rq_alphas, use_pallas: bool = False,
+               add_dot: float = 0.0) -> Array:
     if use_pallas and name in RING_KERNELS:
         from smmdax.pallas import make_pair_sum
         params = rbf_sigmas if name == "gaussian" else rq_alphas
-        return make_pair_sum(name, params, exclude_diag)(a, b)
-    k = kernel_cross(name, a, b, rbf_sigmas=rbf_sigmas, rq_alphas=rq_alphas)
+        return make_pair_sum(name, params, exclude_diag,
+                             add_dot=add_dot)(a, b)
+    k = kernel_cross(name, a, b, rbf_sigmas=rbf_sigmas, rq_alphas=rq_alphas,
+                     add_dot=add_dot)
     s = jnp.sum(k)
     if exclude_diag:
         s = s - jnp.trace(k)
@@ -51,6 +58,7 @@ def ring_mmd_sums(x_loc: Array, y_loc: Array, axis_name: str,
                   rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
                   rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
                   use_pallas: bool = False,
+                  add_dot: float = 0.0,
                   ) -> MMDSums:
     """Global MMD sufficient statistics from per-shard feature blocks.
 
@@ -68,11 +76,11 @@ def ring_mmd_sums(x_loc: Array, y_loc: Array, axis_name: str,
         x_buf, y_buf, sxx, syy, sxy = carry
         own = t == 0
         sxx = sxx + _block_sum(kernel, x_loc, x_buf, own,
-                               rbf_sigmas, rq_alphas, use_pallas)
+                               rbf_sigmas, rq_alphas, use_pallas, add_dot)
         syy = syy + _block_sum(kernel, y_loc, y_buf, own,
-                               rbf_sigmas, rq_alphas, use_pallas)
+                               rbf_sigmas, rq_alphas, use_pallas, add_dot)
         sxy = sxy + _block_sum(kernel, x_loc, y_buf, False,
-                               rbf_sigmas, rq_alphas, use_pallas)
+                               rbf_sigmas, rq_alphas, use_pallas, add_dot)
         x_buf = jax.lax.ppermute(x_buf, axis_name, perm)
         y_buf = jax.lax.ppermute(y_buf, axis_name, perm)
         return x_buf, y_buf, sxx, syy, sxy
@@ -97,19 +105,23 @@ def ring_mmd2(x_loc: Array, y_loc: Array, axis_name: str,
               kernel: str = "rq",
               rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
               rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
-              biased: bool = False, use_pallas: bool = False) -> Array:
-    """Unbiased global-batch MMD^2 from per-shard features (constant-
-    diagonal kernels; for ``biased`` the diagonal values are added
-    back from the local traces)."""
+              biased: bool = False, use_pallas: bool = False,
+              add_dot: float = 0.0) -> Array:
+    """Unbiased global-batch MMD^2 from per-shard features.  The
+    unbiased estimator excludes diagonals by mask/trace, so the
+    data-dependent diagonal ``add_dot`` introduces costs nothing; for
+    ``biased`` the diagonal values are added back from the local
+    traces (computed, so add_dot's w*||x||^2 term is included)."""
     sums = ring_mmd_sums(x_loc, y_loc, axis_name, kernel,
-                         rbf_sigmas, rq_alphas, use_pallas=use_pallas)
+                         rbf_sigmas, rq_alphas, use_pallas=use_pallas,
+                         add_dot=add_dot)
     if biased:
         diag_xx = jax.lax.psum(jnp.trace(kernel_cross(
             kernel, x_loc, x_loc, rbf_sigmas=rbf_sigmas,
-            rq_alphas=rq_alphas)), axis_name)
+            rq_alphas=rq_alphas, add_dot=add_dot)), axis_name)
         diag_yy = jax.lax.psum(jnp.trace(kernel_cross(
             kernel, y_loc, y_loc, rbf_sigmas=rbf_sigmas,
-            rq_alphas=rq_alphas)), axis_name)
+            rq_alphas=rq_alphas, add_dot=add_dot)), axis_name)
         return mmd2_from_sums(sums, biased=True, diag_xx=diag_xx,
                               diag_yy=diag_yy)
     return mmd2_from_sums(sums, biased=False)
@@ -131,6 +143,7 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
                    rbf_sigmas: Sequence[float] = (1.0, 2.0, 4.0, 8.0, 16.0),
                    rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
                    use_pallas: bool = False,
+                   add_dot: float = 0.0,
                    ) -> VarStats:
     """Global t-ratio sufficient statistics from per-shard features.
 
@@ -161,7 +174,8 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
 
     def cross(a, c):
         return kernel_cross(kernel, a, c,
-                            rbf_sigmas=rbf_sigmas, rq_alphas=rq_alphas)
+                            rbf_sigmas=rbf_sigmas, rq_alphas=rq_alphas,
+                            add_dot=add_dot)
 
     if use_pallas and kernel in RING_KERNELS:
         # fused block statistics: row sums + sum of squares straight
@@ -171,8 +185,10 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
         # of the swapped call — the xx/yy blocks skip that sweep.
         from smmdax.pallas import make_row_stats
         kp = rbf_sigmas if kernel == "gaussian" else rq_alphas
-        rs_own = make_row_stats(kernel, kp, exclude_diag=True)
-        rs_off = make_row_stats(kernel, kp, exclude_diag=False)
+        rs_own = make_row_stats(kernel, kp, exclude_diag=True,
+                                add_dot=add_dot)
+        rs_off = make_row_stats(kernel, kp, exclude_diag=False,
+                                add_dot=add_dot)
 
         def block_stats(a, c, own, want_cols=False):
             rows, sq = (rs_own if own else rs_off)(a, c)
@@ -228,6 +244,16 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
         return jax.lax.psum(v, axis_name)
 
     m = jnp.float32(b * n_shards)
+    # diagonal sums (used by the biased estimator only): the constant
+    # mixture part plus, with add_dot, the data-dependent w*||x||^2
+    # term summed over the global batch
+    sum_diag_x = m * diag
+    sum_diag_y = m * diag
+    if add_dot:
+        sum_diag_x = sum_diag_x + add_dot * jax.lax.psum(
+            jnp.sum(x_loc.astype(jnp.float32) ** 2), axis_name)
+        sum_diag_y = sum_diag_y + add_dot * jax.lax.psum(
+            jnp.sum(y_loc.astype(jnp.float32) ** 2), axis_name)
     return VarStats(
         m=m,
         kt_xx_sum=ps(jnp.sum(xx_rows)),
@@ -242,8 +268,8 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
         dot_xy_cols=ps(jnp.dot(xy_cols, xy_cols)),
         dot_xx_xy=ps(jnp.dot(xx_rows, xy_rows)),
         dot_yy_xy=ps(jnp.dot(yy_rows, xy_cols)),
-        sum_diag_x=m * diag,
-        sum_diag_y=m * diag,
+        sum_diag_x=sum_diag_x,
+        sum_diag_y=sum_diag_y,
     )
 
 
@@ -253,12 +279,14 @@ def ring_mmd2_and_ratio(x_loc: Array, y_loc: Array, axis_name: str,
                         rq_alphas: Sequence[float] = (0.2, 0.5, 1.0, 2.0, 5.0),
                         min_var_est: float = 1e-8,
                         use_pallas: bool = False,
+                        add_dot: float = 0.0,
                         ) -> Tuple[Array, Array]:
     """Global-batch (MMD^2, t-ratio) from per-shard features — the ring
     analog of ``smmdax.kernels.mmd.mmd2_and_ratio`` (tmmd model under
     data parallelism without gathering dense Gram blocks)."""
     stats = ring_var_stats(x_loc, y_loc, axis_name, kernel,
-                           rbf_sigmas, rq_alphas, use_pallas=use_pallas)
+                           rbf_sigmas, rq_alphas, use_pallas=use_pallas,
+                           add_dot=add_dot)
     val, var = mmd2_and_variance_from_stats(stats, biased=False)
     ratio = val / jnp.sqrt(jnp.maximum(var, min_var_est))
     return val, ratio

@@ -289,8 +289,27 @@ def make_mesh(num_shards: int) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
+def _scan_dispatches(step, k: int):
+    """Fuse ``k`` macro-steps into one XLA program: ``real`` gains a
+    leading dispatch axis (k, dsteps+gsteps, B, ...) and the macro-step
+    is lax.scan'ed over it — ONE host->device transfer and ONE dispatch
+    per k steps, with the per-step math (and therefore the resulting
+    state) bit-identical to k separate calls.  Metrics returned are the
+    last macro-step's (the trainer aligns dispatch boundaries with
+    logging steps)."""
+    if k == 1:
+        return step
+
+    def multi(state: TrainState, reals: Array):
+        state, metrics = jax.lax.scan(step, state, reals)
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return multi
+
+
 def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
-                   mesh: Optional[Mesh] = None, mode: str = "gspmd"):
+                   mesh: Optional[Mesh] = None, mode: str = "gspmd",
+                   steps_per_dispatch: int = 1):
     """Jit the macro-step with data sharded over the mesh, state replicated.
 
     With ``mesh=None`` (or 1 device) this is a plain single-chip jit.
@@ -302,9 +321,14 @@ def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
         streams, ring/gathered global-batch MMD (cfg.use_ring_mmd),
         pmean'd gradients and BN stats.  Same estimator, explicit
         collective schedule (SURVEY.md §5 ring row).
+
+    ``steps_per_dispatch`` > 1 scans that many macro-steps inside the
+    one program; ``real`` then carries a leading dispatch axis
+    (k, dsteps+gsteps, B, ...).
     """
+    k = steps_per_dispatch
     if mesh is None or len(mesh.devices.flat) == 1:
-        step = build_train_step(cfg, dsteps, gsteps)
+        step = _scan_dispatches(build_train_step(cfg, dsteps, gsteps), k)
         return jax.jit(step, donate_argnums=(0,))
     # The execution context is THIS mesh, whatever cfg.num_data_shards
     # says (mesh and mode are independent arguments): pin the config's
@@ -312,6 +336,7 @@ def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
     # never-trace-pallas_call-inside-a-GSPMD-program guard in
     # losses._pallas — key on reality, not on a possibly-stale config.
     cfg = cfg.replace(num_data_shards=len(mesh.devices.flat))
+    batch_spec = P(None, "data") if k == 1 else P(None, None, "data")
     if mode == "shard_map":
         from jax.experimental.shard_map import shard_map
         n = len(mesh.devices.flat)
@@ -319,15 +344,16 @@ def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
             raise ValueError(
                 f"shard_map mode needs batch sizes divisible by the mesh "
                 f"({cfg.batch_size}/{cfg.real_batch_size} vs {n} shards)")
-        step = build_train_step(cfg, dsteps, gsteps, axis_name="data")
+        step = _scan_dispatches(
+            build_train_step(cfg, dsteps, gsteps, axis_name="data"), k)
         smapped = shard_map(step, mesh=mesh,
-                            in_specs=(P(), P(None, "data")),
+                            in_specs=(P(), batch_spec),
                             out_specs=(P(), P()),
                             check_rep=False)
         return jax.jit(smapped, donate_argnums=(0,))
-    step = build_train_step(cfg, dsteps, gsteps)
+    step = _scan_dispatches(build_train_step(cfg, dsteps, gsteps), k)
     replicated = NamedSharding(mesh, P())
-    data_sharding = NamedSharding(mesh, P(None, "data"))   # shard global batch dim
+    data_sharding = NamedSharding(mesh, batch_spec)   # shard global batch dim
     return jax.jit(step,
                    in_shardings=(replicated, data_sharding),
                    out_shardings=(replicated, replicated),

@@ -53,12 +53,12 @@ class Trainer:
         self.writer = MetricWriter(cfg.log_dir, cfg.run_name(),
                                    also_stdout=cfg.log,
                                    tensorboard=cfg.tensorboard)
-        # two compiled programs: warm-up alternation and main alternation
-        self._step_main = jit_train_step(cfg, cfg.dsteps, cfg.gsteps,
-                                         self.mesh, mode=cfg.dp_mode)
-        self._step_warm = (jit_train_step(cfg, cfg.start_dsteps, cfg.gsteps,
-                                          self.mesh, mode=cfg.dp_mode)
-                           if cfg.start_dsteps != cfg.dsteps else self._step_main)
+        # compiled step programs, keyed by (dsteps, steps_per_dispatch):
+        # the warm-up and main alternation shapes, each possibly at
+        # several dispatch depths (cfg.steps_per_dispatch clipped at
+        # event boundaries — the periodic cadences yield a small set of
+        # depths, each compiled once)
+        self._step_cache: Dict[tuple, callable] = {}
         self._extractor = None
         self._real_feats: Optional[np.ndarray] = None
         self._best_feats: Optional[np.ndarray] = None
@@ -69,6 +69,42 @@ class Trainer:
         if step < self.cfg.warmup_iterations and self.cfg.start_dsteps != self.cfg.dsteps:
             return self.cfg.start_dsteps
         return self.cfg.dsteps
+
+    def _get_step(self, dsteps: int, k: int):
+        """Compiled (and cached) program for one dispatch of ``k``
+        macro-steps at the given critic-update count."""
+        key = (dsteps, k)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            fn = jit_train_step(self.cfg, dsteps, self.cfg.gsteps,
+                                self.mesh, mode=self.cfg.dp_mode,
+                                steps_per_dispatch=k)
+            self._step_cache[key] = fn
+        return fn
+
+    def _next_boundary(self, step: int) -> int:
+        """First step > ``step`` at which host-side work must observe
+        the state: logging, sampling, checkpointing, scoring, fixed LR
+        decay, the warm-up/main alternation switch, profiler window
+        edges, and the end of training.  Dispatches never cross these,
+        so every cadence behaves exactly as with steps_per_dispatch=1."""
+        cfg = self.cfg
+        cands = [cfg.max_iteration]
+        if step < cfg.warmup_iterations and cfg.start_dsteps != cfg.dsteps:
+            cands.append(cfg.warmup_iterations)
+        periodic = [cfg.log_every, cfg.sample_every, cfg.checkpoint_every,
+                    cfg.lr_decay_steps]
+        if cfg.compute_scores:
+            periodic.append(cfg.score_every)
+        for every in periodic:
+            if every:
+                cands.append((step // every + 1) * every)
+        if cfg.profile_steps:
+            for edge in (cfg.profile_start,
+                         cfg.profile_start + cfg.profile_steps):
+                if edge > step:
+                    cands.append(edge)
+        return min(c for c in cands if c > step)
 
     def _score(self, step: int) -> Dict[str, float]:
         """FID/KID of generated samples vs the real source + LR decay."""
@@ -214,7 +250,11 @@ class Trainer:
                     batch = np.round((batch + 1.0) * 127.5).astype(np.uint8)
             return warm, batch
 
-        q: "queue.Queue" = queue.Queue(maxsize=2)
+        # depth scales with the dispatch size: one full dispatch of
+        # batches buffered ahead plus slack, so assembling the k-stack
+        # never starves on the producer mid-dispatch
+        q: "queue.Queue" = queue.Queue(
+            maxsize=max(2, 2 * cfg.steps_per_dispatch))
         stop = threading.Event()
 
         def _producer(start: int):
@@ -258,19 +298,32 @@ class Trainer:
                 print(f"[smmdax] preemption signal: checkpointing at step {step}")
                 self.ckpt.save(step, jax.device_get(self.state), wait=True)
                 break
-            s, (warm, batch) = q.get()
-            assert s == step, (s, step)
-            batch = jnp.asarray(batch)
-            step_fn = self._step_warm if warm else self._step_main
+            # one dispatch = up to steps_per_dispatch macro-steps fused
+            # into a single transfer + XLA program, clipped so it never
+            # crosses an event boundary (metrics cadence, sampling,
+            # checkpoint, scoring and the warm-up switch are unaffected)
+            k_eff = min(cfg.steps_per_dispatch, self._next_boundary(step) - step)
+            parts = []
+            warm = None
+            for i in range(k_eff):
+                s, (w, b) = q.get()
+                assert s == step + i, (s, step, i)
+                assert warm is None or warm == w   # boundary-clipped
+                warm = w
+                parts.append(b)
+            # k_eff == 1 keeps the (per_step, B, ...) shape (no scan axis)
+            batch = jnp.asarray(parts[0] if k_eff == 1 else np.stack(parts))
+            dsteps = cfg.start_dsteps if warm else cfg.dsteps
+            step_fn = self._get_step(dsteps, k_eff)
             if cfg.profile_steps and step == cfg.profile_start:
                 jax.profiler.start_trace(
                     os.path.join(cfg.log_dir, "profile", cfg.run_name()))
             self.state, metrics = step_fn(self.state, batch)
-            step += 1
+            step += k_eff
             if cfg.profile_steps and step == cfg.profile_start + cfg.profile_steps:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
-            timer.add(batch.shape[0] * cfg.real_batch_size)  # same accounting as bench.py
+            timer.add(k_eff * (dsteps + cfg.gsteps) * cfg.real_batch_size)
 
             if cfg.lr_decay_steps and step % cfg.lr_decay_steps == 0:
                 self.state = self.state.replace(

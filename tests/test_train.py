@@ -92,6 +92,52 @@ def test_data_parallel_matches_single_device(model, gp):
                                    rtol=5e-3, atol=1e-4)
 
 
+def test_steps_per_dispatch_bit_identical():
+    """K macro-steps fused into one scanned dispatch must produce the
+    SAME state as K separate dispatches — the scan chains the identical
+    per-step program, and batches are a pure function of (seed, step)
+    (VERDICT r3 item 1: math unchanged)."""
+    cfg = _tiny_cfg(model="sn-smmd")
+    ds = make_dataset(cfg)
+    it = macro_batches(ds, cfg.dsteps + cfg.gsteps, cfg.batch_size)
+    batches = [np.asarray(next(it)) for _ in range(4)]
+
+    state_1 = create_state(cfg, jax.random.PRNGKey(0))
+    step_1 = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    for b in batches:
+        state_1, m_1 = step_1(state_1, jnp.asarray(b))
+
+    state_k = create_state(cfg, jax.random.PRNGKey(0))
+    step_k = jit_train_step(cfg, cfg.dsteps, cfg.gsteps,
+                            steps_per_dispatch=2)
+    for i in (0, 2):
+        state_k, m_k = step_k(state_k, jnp.asarray(np.stack(batches[i:i + 2])))
+
+    assert int(state_k.step) == 4
+    for a, b in zip(jax.tree.leaves(state_1), jax.tree.leaves(state_k)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the dispatch reports the LAST macro-step's metrics
+    for k in m_1:
+        np.testing.assert_array_equal(np.asarray(m_1[k]), np.asarray(m_k[k]))
+
+
+def test_steps_per_dispatch_multi_device():
+    """The scanned dispatch composes with GSPMD data parallelism (the
+    scan axis is unsharded, the batch axis sharded)."""
+    assert jax.device_count() >= 8
+    cfg = _tiny_cfg(batch_size=16, num_data_shards=8)
+    ds = make_dataset(cfg)
+    it = macro_batches(ds, cfg.dsteps + cfg.gsteps, cfg.batch_size)
+    stacked = jnp.asarray(np.stack([np.asarray(next(it)) for _ in range(2)]))
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, mesh=make_mesh(8),
+                          steps_per_dispatch=2)
+    state, metrics = step(state, stacked)
+    assert int(state.step) == 2
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
 def test_sample_shapes():
     cfg = _tiny_cfg()
     state = create_state(cfg, jax.random.PRNGKey(0))

@@ -68,6 +68,36 @@ def test_resume_continues_like_uninterrupted(tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_steps_per_dispatch_trainer_parity(tmp_path):
+    """The fused-dispatch trainer (K=3 against awkward boundaries:
+    warm-up switch at 2, logging every 3, ckpt every 3, end at 7) must
+    produce the BIT-identical final state to the K=1 trainer — dispatch
+    clipping preserves every cadence and the scanned program preserves
+    the math (VERDICT r3 item 1)."""
+    cfg_1 = _cfg(str(tmp_path) + "/k1", max_iteration=7)
+    s1 = Trainer(cfg_1).train()
+    cfg_k = _cfg(str(tmp_path) + "/k3", max_iteration=7,
+                 steps_per_dispatch=3)
+    sk = Trainer(cfg_k).train()
+    assert int(sk.step) == 7
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(sk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_steps_per_dispatch_exact_resume(tmp_path):
+    """Exact resume still holds with K>1 (ckpt boundaries clip the
+    dispatch; a resumed K>1 run continues the identical trajectory)."""
+    cfg_full = _cfg(str(tmp_path) + "/full", max_iteration=6,
+                    checkpoint_every=100, steps_per_dispatch=2)
+    full = Trainer(cfg_full).train()
+    cfg_half = _cfg(str(tmp_path) + "/half", max_iteration=3,
+                    checkpoint_every=3, steps_per_dispatch=2)
+    Trainer(cfg_half).train()
+    resumed = Trainer(cfg_half.replace(max_iteration=6)).train()
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_scoring_and_kid_scheduler(tmp_path):
     cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
                output_size=32, gf_dim=8, df_dim=8, max_iteration=2,
