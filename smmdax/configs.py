@@ -106,6 +106,18 @@ class Config:
 
     # --- LR scheduling (KID-driven three-sample test, SURVEY.md #11) -------
     MMD_lr_scheduler: bool = True
+    three_sample_test: str = "pvalue"    # scheduler decision rule:
+                                         #   pvalue - Bounliphone et al.
+                                         #     relative-MMD hypothesis test
+                                         #     (asymptotic p-value with the
+                                         #     shared-sample cross-covariance;
+                                         #     the lineage's mechanism)
+                                         #   vote - subset-vote heuristic
+                                         #     (fraction of subset draws where
+                                         #     current beats best)
+    scheduler_p_threshold: float = 0.1   # pvalue arm: decay unless the test
+                                         # rejects "no improvement" at this
+                                         # level
     decay_rate: float = 0.8
     lr_decay_steps: int = 0              # optional fixed exponential decay interval
     reload_best_on_decay: bool = False   # on a failed three-sample test, also
@@ -209,6 +221,8 @@ class Config:
             raise ValueError("dp_mode must be gspmd or shard_map")
         if self.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
+        if self.three_sample_test not in ("pvalue", "vote"):
+            raise ValueError("three_sample_test must be pvalue or vote")
         up = self.use_pallas
         if isinstance(up, bool):
             up = "on" if up else "off"

@@ -102,6 +102,100 @@ def inception_score(probs: Array, n_splits: int = 10) -> Tuple[float, float]:
     return float(np.mean(scores)), float(np.std(scores))
 
 
+def _norm_cdf(x: float) -> float:
+    """Standard normal CDF via erf (no scipy dependency)."""
+    import math
+    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+def _poly_kernel(x: Array, y: Array, degree: int = 3,
+                 gamma: Optional[float] = None, coef0: float = 1.0) -> Array:
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    g = (1.0 / x.shape[1]) if gamma is None else gamma
+    return (g * (x @ y.T) + coef0) ** degree
+
+
+def mmd_diff_var(k_yy: Array, k_zz: Array, k_xy: Array, k_xz: Array) -> float:
+    """Variance of MMD^2_u(X,Y) - MMD^2_u(X,Z) under the shared-X
+    coupling — Bounliphone et al., "A Test of Relative Similarity for
+    Model Selection in Generative Models", ICLR 2016 (arXiv:1511.04581)
+    eq. (12)-(13): the asymptotic variance is 4 zeta_1-style covariance
+    built from the three kernel blocks, including the CROSS-covariance
+    terms (t7..t9) the shared reference sample induces.
+
+    X is the reference sample; Y, Z the two model samples; all three
+    the same size m (the test is defined for equal sizes).
+    """
+    m = k_xy.shape[0]
+    n = k_yy.shape[0]
+    r = k_zz.shape[0]
+    k_yy_nd = k_yy - np.diag(np.diagonal(k_yy))
+    k_zz_nd = k_zz - np.diag(np.diagonal(k_zz))
+
+    u_yy = k_yy_nd.sum() / (n * (n - 1))
+    u_zz = k_zz_nd.sum() / (r * (r - 1))
+    u_xy = k_xy.sum() / (m * n)
+    u_xz = k_xz.sum() / (m * r)
+
+    # zeta_1 pieces: variances of the conditional expectations of each
+    # U-statistic kernel (row-sum inner products), then the covariances
+    # from the shared X sample
+    t1 = (1.0 / n ** 3) * (k_yy_nd.T @ k_yy_nd).sum() - u_yy ** 2
+    t2 = (1.0 / (n ** 2 * m)) * (k_xy.T @ k_xy).sum() - u_xy ** 2
+    t3 = (1.0 / (n * m ** 2)) * (k_xy @ k_xy.T).sum() - u_xy ** 2
+    t4 = (1.0 / r ** 3) * (k_zz_nd.T @ k_zz_nd).sum() - u_zz ** 2
+    t5 = (1.0 / (r * m ** 2)) * (k_xz @ k_xz.T).sum() - u_xz ** 2
+    t6 = (1.0 / (r ** 2 * m)) * (k_xz.T @ k_xz).sum() - u_xz ** 2
+    t7 = (1.0 / (n ** 2 * m)) * (k_yy_nd @ k_xy.T).sum() - u_yy * u_xy
+    t8 = (1.0 / (n * m * r)) * (k_xy.T @ k_xz).sum() - u_xy * u_xz
+    t9 = (1.0 / (r ** 2 * m)) * (k_zz_nd @ k_xz.T).sum() - u_zz * u_xz
+
+    zeta1 = t1 + t2 + t3 + t4 + t5 + t6 - 2.0 * (t7 + t8 + t9)
+    return (4.0 * (m - 2) / (m * (m - 1))) * zeta1
+
+
+def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
+                      subset_size: int = 1000, n_subsets: int = 10,
+                      seed: int = 0) -> Tuple[float, float]:
+    """Bounliphone et al. relative-MMD three-sample hypothesis test
+    (the lineage's actual scheduler mechanism, SURVEY.md §2.11
+    [R-MED]) with the KID polynomial kernel.
+
+    Statistic: t = [MMD^2_u(ref, B) - MMD^2_u(ref, A)] / sqrt(Var),
+    where Var is the shared-X asymptotic variance (mmd_diff_var) and
+    the ref-ref block cancels in the difference.  t > 0 favors A.
+    Returns ``(p_value, t)`` where ``p_value = P(observing a t this
+    large under H0: A is no closer than B)`` — SMALL p means candidate
+    A (current samples) is SIGNIFICANTLY closer to the reference than
+    B (best-snapshot samples).  Averaged over ``n_subsets`` subset
+    draws like KID itself (seed the caller's step for independence
+    across scoring events).
+    """
+    m = min(subset_size, len(feats_ref), len(feats_a), len(feats_b))
+    rng = np.random.default_rng(seed)
+    ps, ts = [], []
+    for _ in range(n_subsets):
+        x = feats_ref[rng.choice(len(feats_ref), m, replace=False)]
+        y = feats_a[rng.choice(len(feats_a), m, replace=False)]
+        z = feats_b[rng.choice(len(feats_b), m, replace=False)]
+        k_yy = _poly_kernel(y, y)
+        k_zz = _poly_kernel(z, z)
+        k_xy = _poly_kernel(x, y)
+        k_xz = _poly_kernel(x, z)
+        u_yy = (k_yy.sum() - np.trace(k_yy)) / (m * (m - 1))
+        u_zz = (k_zz.sum() - np.trace(k_zz)) / (m * (m - 1))
+        u_xy = k_xy.mean()
+        u_xz = k_xz.mean()
+        # MMD^2(X,Y) - MMD^2(X,Z); the K_XX term is common and cancels
+        diff = (u_zz - 2.0 * u_xz) - (u_yy - 2.0 * u_xy)
+        var = max(mmd_diff_var(k_yy, k_zz, k_xy, k_xz), 1e-12)
+        t = float(diff / np.sqrt(var))
+        ts.append(t)
+        ps.append(1.0 - _norm_cdf(t))
+    return float(np.mean(ps)), float(np.mean(ts))
+
+
 def relative_similarity_test(feats_ref: Array, feats_a: Array, feats_b: Array,
                              subset_size: int = 1000, n_subsets: int = 10,
                              seed: int = 0) -> float:

@@ -25,7 +25,7 @@ from smmdax.data import make_dataset
 from smmdax.data.pipeline import macro_batch_at
 from smmdax.eval import (fid_from_features, get_feature_extractor,
                          kid_from_features)
-from smmdax.eval.scores import relative_similarity_test
+from smmdax.eval.scores import relative_mmd_test, relative_similarity_test
 from smmdax.train import (TrainState, create_state, jit_train_step,
                           make_mesh, sample)
 from smmdax.utils import MetricWriter, StepTimer, save_images
@@ -176,11 +176,29 @@ class Trainer:
                     "best_kid": float(kid), "best_step": int(step)})
                 out["lr_decayed"] = 0.0
             else:
-                # three-sample relative similarity test vs best snapshot
-                win = relative_similarity_test(
-                    self._real_feats, fake_feats, self._best_feats,
-                    subset_size=min(cfg.score_subset_size, n))
-                if win <= 0.5:   # no improvement -> decay LR
+                # three-sample test vs best snapshot.  Subsets are
+                # step-keyed so every scoring event draws fresh ones
+                # (r2 weak #4: seed=0/n_subsets=10 correlated all
+                # decisions), and cfg.score_subsets is honored.
+                if cfg.three_sample_test == "pvalue":
+                    # Bounliphone et al. relative-MMD hypothesis test:
+                    # improvement = the test REJECTS "current is no
+                    # closer than best" at scheduler_p_threshold
+                    p_val, t_stat = relative_mmd_test(
+                        self._real_feats, fake_feats, self._best_feats,
+                        subset_size=min(cfg.score_subset_size, n),
+                        n_subsets=cfg.score_subsets, seed=step)
+                    out["three_sample_p"] = p_val
+                    out["three_sample_t"] = t_stat
+                    improved = p_val < cfg.scheduler_p_threshold
+                else:
+                    win = relative_similarity_test(
+                        self._real_feats, fake_feats, self._best_feats,
+                        subset_size=min(cfg.score_subset_size, n),
+                        n_subsets=cfg.score_subsets, seed=step)
+                    out["three_sample_win"] = win
+                    improved = win > 0.5
+                if not improved:   # no improvement -> decay LR
                     new_lr_d = self.state.lr_d * cfg.decay_rate
                     new_lr_g = self.state.lr_g * cfg.decay_rate
                     if cfg.reload_best_on_decay:

@@ -78,6 +78,68 @@ def test_relative_similarity_test_direction():
     assert lose < 0.5
 
 
+def test_relative_mmd_test_direction():
+    """Bounliphone relative-MMD test: small p when candidate A is
+    clearly closer to the reference, p near 1 for the reverse, and a
+    middling p under the null (A, B equidistant)."""
+    from smmdax.eval.scores import relative_mmd_test
+    rng = np.random.default_rng(5)
+    ref = rng.standard_normal((2000, 8))
+    close = rng.standard_normal((2000, 8)) + 0.1
+    far = rng.standard_normal((2000, 8)) + 1.0
+    p, t = relative_mmd_test(ref, close, far, subset_size=400, n_subsets=5)
+    assert p < 0.01 and t > 0
+    p_rev, t_rev = relative_mmd_test(ref, far, close, subset_size=400,
+                                     n_subsets=5)
+    assert p_rev > 0.99 and t_rev < 0
+    # null: both candidates from the reference distribution
+    same_a = rng.standard_normal((2000, 8))
+    same_b = rng.standard_normal((2000, 8))
+    p0, t0 = relative_mmd_test(ref, same_a, same_b, subset_size=400,
+                               n_subsets=8)
+    assert 0.05 < p0 < 0.95
+    assert abs(t0) < 3.0
+
+
+def test_relative_mmd_test_step_keyed_seeds_differ():
+    from smmdax.eval.scores import relative_mmd_test
+    rng = np.random.default_rng(6)
+    ref = rng.standard_normal((600, 4))
+    a = rng.standard_normal((600, 4)) + 0.3
+    b = rng.standard_normal((600, 4)) + 0.35
+    p1, _ = relative_mmd_test(ref, a, b, subset_size=100, n_subsets=3, seed=1)
+    p1_again, _ = relative_mmd_test(ref, a, b, subset_size=100, n_subsets=3,
+                                    seed=1)
+    p2, _ = relative_mmd_test(ref, a, b, subset_size=100, n_subsets=3, seed=2)
+    assert p1 == p1_again          # deterministic per seed
+    assert p1 != p2                # fresh subsets per scoring event
+
+
+def test_mmd_diff_var_matches_empirical_variance():
+    """Independent validation of the Bounliphone variance estimator:
+    the analytic Var of [MMD^2_u(X,Y) - MMD^2_u(X,Z)] must match the
+    EMPIRICAL variance of that statistic over fresh sample triples
+    (the statistic itself computed through the separately-tested
+    polynomial_mmd, where the shared K_XX term cancels in the
+    difference).  This checks the whole formula — zeta1 terms and the
+    shared-X cross-covariances t7..t9 — against ground truth rather
+    than against a transcription of the same equations."""
+    from smmdax.eval.scores import _poly_kernel, mmd_diff_var
+    rng = np.random.default_rng(7)
+    m, d = 100, 4
+    diffs, variances = [], []
+    for _ in range(300):
+        x = rng.standard_normal((m, d))
+        y = rng.standard_normal((m, d)) + 0.2
+        z = rng.standard_normal((m, d)) + 0.3
+        diffs.append(polynomial_mmd(x, y) - polynomial_mmd(x, z))
+        variances.append(mmd_diff_var(_poly_kernel(y, y), _poly_kernel(z, z),
+                                      _poly_kernel(x, y), _poly_kernel(x, z)))
+    emp = float(np.var(diffs))
+    ana = float(np.mean(variances))
+    assert ana == pytest.approx(emp, rel=0.35)
+
+
 def test_random_conv_features_deterministic():
     rng = np.random.default_rng(4)
     imgs = rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
