@@ -112,6 +112,22 @@ class _Harness:
                                    steps_per_dispatch=k)
         self._flops = None
 
+    def flops_per_macro_step_k1(self) -> float | None:
+        """FLOPs of ONE macro-step, measured on an (unscanned) K=1
+        lowering of the same config: XLA cost analysis counts a scanned
+        body ONCE regardless of trip count, so lowering the K-program
+        would undercount by ~k."""
+        if self._flops is None:
+            from smmdax.train import create_state, jit_train_step
+            cfg1 = self.cfg.replace(steps_per_dispatch=1)
+            step1 = jit_train_step(cfg1, cfg1.dsteps, cfg1.gsteps)
+            state1 = create_state(cfg1, jax.random.PRNGKey(0))
+            flat = self.source.batch_u8(self.per_step * cfg1.batch_size, key=0)
+            b = jnp.asarray(flat.reshape((self.per_step, cfg1.batch_size)
+                                         + flat.shape[1:]))
+            self._flops = _flops_per_step(step1, state1, b)
+        return self._flops
+
     def make_u8(self, dispatch_idx: int) -> np.ndarray:
         """One dispatch worth of fresh batches, exactly like the
         trainer: uint8 transfer, de-quantized in-step, keyed by step."""
@@ -134,11 +150,7 @@ class _Harness:
         return time.time() - t0
 
     def flops_per_macro_step(self) -> float | None:
-        if self._flops is None:
-            f = _flops_per_step(self.step, self.state,
-                                jnp.asarray(self.make_u8(0)))
-            self._flops = f / self.k if f else None
-        return self._flops
+        return self.flops_per_macro_step_k1()
 
     def timed_window(self, macro_steps: int, feed) -> float:
         """images/sec over one window; ``feed`` yields ready host
@@ -202,6 +214,50 @@ def _measure(harness: _Harness, windows: int, steps_per_window: int,
     return out
 
 
+def _measure_on_device_sweep(batch_size: int, k: int) -> dict:
+    """One batch-size point of the MFU sweep: the same flagship config
+    with in-program batch synthesis (jit_train_step_on_device)."""
+    from smmdax.train import create_state, jit_train_step_on_device
+    cfg = _flagship_cfg(batch_size, k)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step_on_device(cfg, cfg.dsteps, cfg.gsteps,
+                                    steps_per_dispatch=k)
+    t0 = time.time()
+    for _ in range(2):
+        state, metrics = step(state)
+        float(metrics["d_loss_mmd2"])
+    wu = time.time() - t0
+    per_step = cfg.dsteps + cfg.gsteps
+    # constant IMAGE budget per window across B: wall per window stays
+    # flat while per-B dispatch counts shrink
+    n_disp = max(2, STEPS_PER_WINDOW * 64 // batch_size // k)
+    ips = []
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(n_disp):
+            state, metrics = step(state)
+        _ = [float(jnp.sum(x)) for x in jax.tree.leaves(state.d_params)[:3]]
+        float(metrics["d_loss_mmd2"])
+        elapsed = time.time() - t0
+        ips.append(n_disp * k * per_step * cfg.batch_size / elapsed)
+    med = statistics.median(ips)
+    out = {"images_per_sec": round(med, 2),
+           "windows": [round(w, 1) for w in ips]}
+    h = _Harness(batch_size, 1)          # flops oracle (K=1 lowering)
+    flops = h.flops_per_macro_step_k1()
+    del h
+    dev = jax.devices()[0]
+    peak = PEAK_FLOPS.get(dev.device_kind)
+    if flops is not None and peak is not None:
+        tfs = flops * (med / (per_step * cfg.batch_size)) / 1e12
+        out["tflops_per_sec"] = round(tfs, 2)
+        out["mfu"] = round(tfs * 1e12 / peak, 4)
+    print(f"# B={batch_size} K={k} on-device (warmup+compile {wu:.0f}s): "
+          f"{med:.0f} img/s (windows={['%.0f' % w for w in ips]}, "
+          f"mfu={out.get('mfu', 'n/a')})")
+    return out
+
+
 def main() -> None:
     from smmdax.train import enable_compilation_cache
     enable_compilation_cache()
@@ -226,16 +282,14 @@ def main() -> None:
     final_mmd2 = float(h.last_metrics["d_loss_mmd2"])
     del h
 
-    # --- MFU ceiling: batch-size sweep at the best K ------------------
+    # --- MFU ceiling: batch-size sweep, DEVICE-BOUND ------------------
+    # on-device batch synthesis (zero host work / transfer): the sweep
+    # answers "does MFU climb when the workload is MXU-bound?", so the
+    # host producer must not be the bottleneck (a first host-fed run
+    # measured 3.2k img/s at B=256 — pure producer starvation).
     sweep_b = {}
     for b in BATCH_SWEEP:
-        hb = _Harness(b, best_k)
-        wu = hb.warmup(2)
-        # fewer macro-steps: each consumes B/64 x the images
-        n = max(2 * best_k, STEPS_PER_WINDOW * 64 // b)
-        sweep_b[b] = _measure(hb, windows=2, steps_per_window=n,
-                              tag=f"B={b} K={best_k} (warmup+compile {wu:.0f}s)")
-        del hb
+        sweep_b[b] = _measure_on_device_sweep(b, best_k)
 
     ips = headline["images_per_sec"]
     vs = ips / BASELINE_IMAGES_PER_SEC if BASELINE_IMAGES_PER_SEC else 1.0

@@ -175,6 +175,14 @@ class Config:
                                          # needed for 160px double-backprop)
     uint8_transfer: bool = True          # ship real batches to the device as
                                          # uint8 and normalize on-device
+    on_device_data: bool = False         # synthesize real batches IN-PROGRAM
+                                         # from the state RNG (synthetic
+                                         # dataset only): zero host transfer.
+                                         # Link-independent measurement mode
+                                         # (and hostless synthetic training);
+                                         # deterministic + exact-resume since
+                                         # batches are a pure function of the
+                                         # checkpointed RNG chain
 
     # --- observability (SURVEY.md §5: tracing/profiling + numerics
     #     harness, the TPU analogs of TensorBoard + tf.check_numerics) ---
@@ -223,6 +231,10 @@ class Config:
             raise ValueError("steps_per_dispatch must be >= 1")
         if self.three_sample_test not in ("pvalue", "vote"):
             raise ValueError("three_sample_test must be pvalue or vote")
+        if self.on_device_data and self.dataset != "synthetic":
+            raise ValueError(
+                "on_device_data synthesizes batches in-program and is only "
+                "meaningful for dataset='synthetic'")
         up = self.use_pallas
         if isinstance(up, bool):
             up = "on" if up else "off"

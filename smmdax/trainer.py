@@ -76,9 +76,15 @@ class Trainer:
         key = (dsteps, k)
         fn = self._step_cache.get(key)
         if fn is None:
-            fn = jit_train_step(self.cfg, dsteps, self.cfg.gsteps,
-                                self.mesh, mode=self.cfg.dp_mode,
-                                steps_per_dispatch=k)
+            if self.cfg.on_device_data:
+                from smmdax.train import jit_train_step_on_device
+                fn = jit_train_step_on_device(
+                    self.cfg, dsteps, self.cfg.gsteps, self.mesh,
+                    mode=self.cfg.dp_mode, steps_per_dispatch=k)
+            else:
+                fn = jit_train_step(self.cfg, dsteps, self.cfg.gsteps,
+                                    self.mesh, mode=self.cfg.dp_mode,
+                                    steps_per_dispatch=k)
             self._step_cache[key] = fn
         return fn
 
@@ -287,9 +293,10 @@ class Trainer:
                         continue
                 s += 1
 
-        producer = threading.Thread(target=_producer, args=(step,),
-                                    daemon=True)
-        producer.start()
+        if not cfg.on_device_data:
+            producer = threading.Thread(target=_producer, args=(step,),
+                                        daemon=True)
+            producer.start()
 
         try:
             self._train_loop(cfg, timer, step, q)
@@ -321,22 +328,29 @@ class Trainer:
             # crosses an event boundary (metrics cadence, sampling,
             # checkpoint, scoring and the warm-up switch are unaffected)
             k_eff = min(cfg.steps_per_dispatch, self._next_boundary(step) - step)
-            parts = []
-            warm = None
-            for i in range(k_eff):
-                s, (w, b) = q.get()
-                assert s == step + i, (s, step, i)
-                assert warm is None or warm == w   # boundary-clipped
-                warm = w
-                parts.append(b)
-            # k_eff == 1 keeps the (per_step, B, ...) shape (no scan axis)
-            batch = jnp.asarray(parts[0] if k_eff == 1 else np.stack(parts))
+            if cfg.on_device_data:
+                warm = self._dsteps_at(step) == cfg.start_dsteps and \
+                    cfg.start_dsteps != cfg.dsteps
+                batch = None
+            else:
+                parts = []
+                warm = None
+                for i in range(k_eff):
+                    s, (w, b) = q.get()
+                    assert s == step + i, (s, step, i)
+                    assert warm is None or warm == w   # boundary-clipped
+                    warm = w
+                    parts.append(b)
+                # k_eff == 1 keeps the (per_step, B, ...) shape (no scan axis)
+                batch = jnp.asarray(parts[0] if k_eff == 1
+                                    else np.stack(parts))
             dsteps = cfg.start_dsteps if warm else cfg.dsteps
             step_fn = self._get_step(dsteps, k_eff)
             if cfg.profile_steps and step == cfg.profile_start:
                 jax.profiler.start_trace(
                     os.path.join(cfg.log_dir, "profile", cfg.run_name()))
-            self.state, metrics = step_fn(self.state, batch)
+            self.state, metrics = (step_fn(self.state) if batch is None
+                                   else step_fn(self.state, batch))
             step += k_eff
             if cfg.profile_steps and step == cfg.profile_start + cfg.profile_steps:
                 jax.block_until_ready(metrics)

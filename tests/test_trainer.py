@@ -98,6 +98,25 @@ def test_steps_per_dispatch_exact_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_on_device_data_trains_and_resumes_exactly(tmp_path):
+    """on_device_data: batches synthesized in-program from the state
+    RNG — no host pipeline at all — still trains, still exact-resumes
+    (the data stream is a pure function of the checkpointed RNG)."""
+    kw = dict(dataset="synthetic", architecture="dcgan", output_size=32,
+              gf_dim=8, df_dim=8, batch_size=8, on_device_data=True,
+              steps_per_dispatch=2)
+    cfg_full = _cfg(str(tmp_path) + "/full", max_iteration=4,
+                    checkpoint_every=100, **kw)
+    full = Trainer(cfg_full).train()
+    assert int(full.step) == 4
+    cfg_half = _cfg(str(tmp_path) + "/half", max_iteration=2,
+                    checkpoint_every=2, **kw)
+    Trainer(cfg_half).train()
+    resumed = Trainer(cfg_half.replace(max_iteration=4)).train()
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_scoring_and_kid_scheduler(tmp_path):
     cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
                output_size=32, gf_dim=8, df_dim=8, max_iteration=2,

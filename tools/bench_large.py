@@ -1,0 +1,145 @@
+"""Link-independent large-image macro-step measurement (VERDICT r2
+weak #2).
+
+The tunneled TPU link made CelebA-160 wall times swing 377 -> 1045 ms
+round-to-round on the same config (BASELINE.md critic-fusion row): a
+29.5 MB uint8 macro-batch rides the tunnel every step, so the wall
+number measures link weather, not the framework.  This tool measures
+the same configs with ``jit_train_step_on_device`` — batches are drawn
+in-program from the state RNG, ZERO host->device transfer — giving a
+stable device-bound number, alongside one tunneled (host-fed) row for
+honesty.
+
+Run on the TPU:  python tools/bench_large.py [--quick]
+
+Prints one JSON line per config with median/spread over windows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _configs():
+    from smmdax.configs import Config
+    common = dict(model="sn-smmd", kernel="rq", dataset="synthetic",
+                  random_seed=0, dsteps=5, gsteps=1,
+                  compute_dtype="bfloat16",
+                  scaling_grad_estimator="hutchinson")
+    return {
+        # ImageNet-64 shapes (BASELINE.md round-2 row: 256 ms tunneled)
+        "resnet64_b64": Config(architecture="resnet", output_size=64,
+                               batch_size=64, real_batch_size=64,
+                               dof_dim=16, remat=True, **common),
+        # the paper's deepest config — CelebA 160x160 deep resnet
+        # (BASELINE.md: 377 ms r1 vs 1045-1079 ms r2, same config)
+        "celeba160_b64": Config(architecture="resnet", output_size=160,
+                                batch_size=64, real_batch_size=64,
+                                gf_dim=32, df_dim=32, dof_dim=16,
+                                remat=True, **common),
+    }
+
+
+def _measure_on_device(cfg, windows: int, steps_per_window: int) -> dict:
+    from smmdax.train import create_state, jit_train_step_on_device
+    state = create_state(cfg, jax.random.PRNGKey(cfg.random_seed))
+    step = jit_train_step_on_device(cfg, cfg.dsteps, cfg.gsteps)
+    t0 = time.time()
+    for _ in range(2):                       # compile + warm
+        state, metrics = step(state)
+        float(metrics["d_loss_mmd2"])
+    compile_s = time.time() - t0
+    per_step = cfg.dsteps + cfg.gsteps
+    times = []
+    for _ in range(windows):
+        t0 = time.time()
+        for _ in range(steps_per_window):
+            state, metrics = step(state)
+        # completion barrier (async/tunneled platform): materialize
+        # params + a metric — cannot return before the chain executed
+        _ = [float(jnp.sum(x))
+             for x in jax.tree.leaves(state.d_params)[:3]]
+        float(metrics["d_loss_mmd2"])
+        times.append((time.time() - t0) / steps_per_window)
+    med = statistics.median(times)
+    return {
+        "macro_step_ms": round(med * 1e3, 1),
+        "images_per_sec": round(per_step * cfg.batch_size / med, 1),
+        "window_ms": [round(t * 1e3, 1) for t in times],
+        "spread_pct": round(100 * (max(times) - min(times)) / med, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def _measure_tunneled(cfg, windows: int, steps_per_window: int) -> dict:
+    """The host-fed path (uint8 over the link) for comparison."""
+    from smmdax.data import make_dataset
+    from smmdax.train import create_state, jit_train_step
+    source = make_dataset(cfg)
+    per_step = cfg.dsteps + cfg.gsteps
+    state = create_state(cfg, jax.random.PRNGKey(cfg.random_seed))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+
+    def batch(i):
+        flat = source.batch_u8(per_step * cfg.batch_size, key=i)
+        return jnp.asarray(flat.reshape((per_step, cfg.batch_size)
+                                        + flat.shape[1:]))
+
+    for i in range(2):
+        state, metrics = step(state, batch(i))
+        float(metrics["d_loss_mmd2"])
+    times = []
+    n = 2
+    for w in range(windows):
+        t0 = time.time()
+        for i in range(steps_per_window):
+            state, metrics = step(state, batch(n))
+            n += 1
+        _ = [float(jnp.sum(x))
+             for x in jax.tree.leaves(state.d_params)[:3]]
+        float(metrics["d_loss_mmd2"])
+        times.append((time.time() - t0) / steps_per_window)
+    med = statistics.median(times)
+    return {
+        "macro_step_ms": round(med * 1e3, 1),
+        "images_per_sec": round(per_step * cfg.batch_size / med, 1),
+        "window_ms": [round(t * 1e3, 1) for t in times],
+        "spread_pct": round(100 * (max(times) - min(times)) / med, 1),
+    }
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--quick", action="store_true",
+                   help="fewer/shorter windows")
+    p.add_argument("--configs", nargs="*", default=None,
+                   help="subset of config names")
+    a = p.parse_args(argv)
+    windows = 3 if a.quick else 5
+    spw = 5 if a.quick else 10
+
+    from smmdax.train import enable_compilation_cache
+    enable_compilation_cache()
+    dev = jax.devices()[0]
+    for name, cfg in _configs().items():
+        if a.configs and name not in a.configs:
+            continue
+        on_dev = _measure_on_device(cfg, windows, spw)
+        tun = _measure_tunneled(cfg, windows, spw)
+        print(json.dumps({
+            "config": name, "device": dev.device_kind,
+            "on_device_data": on_dev, "tunneled_u8": tun,
+        }))
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
