@@ -53,7 +53,10 @@ WARMUP_STEPS = 3
 N_WINDOWS = 5
 STEPS_PER_WINDOW = 64
 DISPATCH_SWEEP = (1, 4, 8)
-BATCH_SWEEP = (128, 256, 512)
+BATCH_SWEEP = (64, 128, 256, 512)   # 64 = the [SPEC] point, measured
+                                    # device-bound too so every run
+                                    # records a link-weather-proof
+                                    # flagship number alongside
 
 # Peak dense-matmul throughput per chip for MFU accounting.  Keys match
 # jax Device.device_kind.  TPU v5e (v5 lite): 197 TFLOP/s bf16.

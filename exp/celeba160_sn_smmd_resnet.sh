@@ -10,4 +10,5 @@ python main.py \
   --compute_scores true --score_every 5000 \
   --compute_dtype bfloat16 --scaling_grad_estimator hutchinson \
   --remat true \
+  --steps_per_dispatch 4 \
   "$@"

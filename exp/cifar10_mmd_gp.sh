@@ -8,4 +8,5 @@ python main.py \
   --learning_rate 1e-4 --dsteps 5 \
   --max_iteration 150000 --MMD_lr_scheduler true \
   --compute_scores true --score_every 2000 \
+  --steps_per_dispatch 4 \
   "$@"

@@ -11,4 +11,5 @@ python main.py \
   --with_scaling true --scaling_coeff 10.0 \
   --max_iteration 150000 --MMD_lr_scheduler true --decay_rate 0.8 \
   --compute_scores true --score_every 2000 \
+  --steps_per_dispatch 4 \
   "$@"

@@ -10,4 +10,5 @@ python main.py \
   --max_iteration 150000 --MMD_lr_scheduler true --decay_rate 0.8 \
   --compute_scores true --score_every 2000 \
   --compute_dtype bfloat16 --scaling_grad_estimator hutchinson \
+  --steps_per_dispatch 4 \
   "$@"

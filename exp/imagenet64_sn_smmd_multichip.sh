@@ -12,4 +12,5 @@ python main.py \
   --max_iteration 150000 --MMD_lr_scheduler true \
   --compute_scores true --score_every 5000 \
   --compute_dtype bfloat16 --scaling_grad_estimator hutchinson \
+  --steps_per_dispatch 4 \
   "$@"

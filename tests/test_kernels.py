@@ -257,22 +257,38 @@ def test_rq_add_dot_variant():
 
 
 def test_rq_add_dot_trains_end_to_end():
-    """A training step with kernel_add_dot set runs (dense paths engaged;
-    ring/Pallas correctly refuse the non-constant diagonal)."""
+    """A training step with kernel_add_dot runs on BOTH execution
+    paths — dense, and the fused Pallas path that round 3 extended to
+    the mix_rq_dot term (the round-2 dense-only carve-out is gone) —
+    and they agree."""
     import jax
     import jax.numpy as jnp
 
+    import smmdax.pallas.mmd_kernel as pk
     from smmdax.configs import Config
     from smmdax.data import make_dataset
     from smmdax.train import create_state, jit_train_step
 
-    cfg = Config(model="mmd", kernel="rq", kernel_add_dot=0.1,
-                 architecture="dcgan", dataset="synthetic", output_size=32,
-                 batch_size=8, gf_dim=8, df_dim=8, dof_dim=4, z_dim=8,
-                 dsteps=1, gsteps=1, use_pallas="on", pallas_min_rows=1)
-    src = make_dataset(cfg)
-    flat = src.batch(2 * cfg.batch_size, key=0)
-    batch = jnp.asarray(flat.reshape((2, cfg.batch_size) + flat.shape[1:]))
-    state = create_state(cfg, jax.random.PRNGKey(0))
-    state, metrics = jit_train_step(cfg, 1, 1)(state, batch)
-    assert np.isfinite(float(metrics["d_loss_mmd2"]))
+    def run(use_pallas):
+        cfg = Config(model="mmd", kernel="rq", kernel_add_dot=0.1,
+                     architecture="dcgan", dataset="synthetic",
+                     output_size=32, batch_size=8, gf_dim=8, df_dim=8,
+                     dof_dim=4, z_dim=8, dsteps=1, gsteps=1,
+                     use_pallas=use_pallas, pallas_min_rows=1)
+        src = make_dataset(cfg)
+        flat = src.batch(2 * cfg.batch_size, key=0)
+        batch = jnp.asarray(flat.reshape((2, cfg.batch_size)
+                                         + flat.shape[1:]))
+        state = create_state(cfg, jax.random.PRNGKey(0))
+        state, metrics = jit_train_step(cfg, 1, 1)(state, batch)
+        return float(metrics["d_loss_mmd2"])
+
+    dense = run("off")
+    assert np.isfinite(dense)
+    old = pk._INTERPRET
+    pk._INTERPRET = True
+    try:
+        fused = run("on")
+    finally:
+        pk._INTERPRET = old
+    assert fused == pytest.approx(dense, rel=1e-4, abs=1e-7)

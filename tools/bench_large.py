@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import sys
 import time
@@ -26,6 +27,9 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# runnable as `python tools/bench_large.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _configs():
