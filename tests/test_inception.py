@@ -337,3 +337,17 @@ def test_fid_semantics_autodetected_from_fc_width():
         jinc.random_state_dict(seed=1, include_aux=False, num_classes=1008))
     assert jinc.InceptionV3(p1000, batch=1).fid_semantics is False
     assert jinc.InceptionV3(p1008, batch=1).fid_semantics is True
+
+
+def test_get_feature_extractor_threads_fid_semantics(tmp_path):
+    """compute_scores' default --extractor auto honors an explicit
+    --fid_semantics (ADVICE r2: the override was silently dropped on
+    the auto path; get_feature_extractor now forwards it)."""
+    from smmdax.eval.features import get_feature_extractor
+    np.savez(tmp_path / "inception_v3.npz",
+             **jinc.random_state_dict(seed=2, include_aux=False))
+    ext_on = get_feature_extractor(str(tmp_path), fid_semantics=True)
+    ext_auto = get_feature_extractor(str(tmp_path))
+    assert ext_on.name == "inception_v3"
+    assert ext_on._net.fid_semantics is True      # forced on
+    assert ext_auto._net.fid_semantics is False   # auto: 1000-way fc
