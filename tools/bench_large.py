@@ -57,7 +57,10 @@ def _measure_on_device(cfg, windows: int, steps_per_window: int) -> dict:
     state = create_state(cfg, jax.random.PRNGKey(cfg.random_seed))
     step = jit_train_step_on_device(cfg, cfg.dsteps, cfg.gsteps)
     t0 = time.time()
-    for _ in range(2):                       # compile + warm
+    # compile + warm: enough dispatches that the first timed window is
+    # past residual warm-in (measured: window 1 read 149 vs 111 ms
+    # steady-state with only 2 warm dispatches)
+    for _ in range(6):
         state, metrics = step(state)
         float(metrics["d_loss_mmd2"])
     compile_s = time.time() - t0
