@@ -176,13 +176,17 @@ class Config:
     uint8_transfer: bool = True          # ship real batches to the device as
                                          # uint8 and normalize on-device
     on_device_data: bool = False         # synthesize real batches IN-PROGRAM
-                                         # from the state RNG (synthetic
-                                         # dataset only): zero host transfer.
-                                         # Link-independent measurement mode
-                                         # (and hostless synthetic training);
-                                         # deterministic + exact-resume since
-                                         # batches are a pure function of the
-                                         # checkpointed RNG chain
+                                         # from the state RNG: zero host
+                                         # transfer.  Link-independent
+                                         # MEASUREMENT / hostless-smoke mode
+                                         # (draws uniform noise — NOT the
+                                         # SyntheticImages distribution, so
+                                         # compute_scores is rejected with
+                                         # it); deterministic, exact-resume,
+                                         # and steps_per_dispatch-invariant
+                                         # since each macro-step's batch is a
+                                         # pure function of the checkpointed
+                                         # RNG chain (tested)
 
     # --- observability (SURVEY.md §5: tracing/profiling + numerics
     #     harness, the TPU analogs of TensorBoard + tf.check_numerics) ---
@@ -235,6 +239,13 @@ class Config:
             raise ValueError(
                 "on_device_data synthesizes batches in-program and is only "
                 "meaningful for dataset='synthetic'")
+        if self.on_device_data and self.compute_scores:
+            raise ValueError(
+                "on_device_data draws uniform noise on-device — a DIFFERENT "
+                "distribution from the host SyntheticImages source scoring "
+                "would compare against; FID/KID/scheduler decisions would be "
+                "meaningless. It is a measurement / hostless-smoke mode: "
+                "disable compute_scores with it.")
         up = self.use_pallas
         if isinstance(up, bool):
             up = "on" if up else "off"

@@ -81,8 +81,13 @@ def pack_image_dir(root: str, out_path: str, size: int,
     return out_path
 
 
-def packed_path(data_dir: str, dataset: str, size: int) -> str:
-    return os.path.join(data_dir, dataset, f"packed_{size}.npy")
+def packed_path(data_dir: str, dataset: str, size: int,
+                category: str = "") -> str:
+    """Default packed-cache location.  For LSUN with a category the
+    cache is per-scene (``packed_bedroom_train_64.npy``) so a cache
+    built from one scene can never silently serve another."""
+    tag = f"packed_{category}_{size}.npy" if category else f"packed_{size}.npy"
+    return os.path.join(data_dir, dataset, tag)
 
 
 def load_packed(path: str) -> Optional[np.ndarray]:

@@ -310,11 +310,23 @@ def make_dataset(cfg: Config) -> DataSource:
             return ArraySource(x.copy(), seed=cfg.random_seed)
     elif ds in ("lsun", "celeba"):
         # fastest path first: a decode-once packed uint8 cache (memmap +
-        # C++ gather; built by ``python -m smmdax.data.convert``)
+        # C++ gather; built by ``python -m smmdax.data.convert``).
+        # With --lsun_category set, ONLY the per-scene cache is
+        # accepted — the generic packed file records no provenance and
+        # could have been built from a different scene.
         from smmdax.data.convert import load_packed, packed_path
-        packed = load_packed(packed_path(cfg.data_dir, ds, cfg.output_size))
+        category = cfg.lsun_category if ds == "lsun" else ""
+        packed = load_packed(packed_path(cfg.data_dir, ds, cfg.output_size,
+                                         category=category))
         if packed is not None:
             return ArraySource(packed, seed=cfg.random_seed)
+        if category:
+            generic = load_packed(
+                packed_path(cfg.data_dir, ds, cfg.output_size))
+            if generic is not None:
+                print(f"[smmdax.data] ignoring category-less packed cache "
+                      f"(lsun_category={category!r} requested; repack with "
+                      f"out={packed_path(cfg.data_dir, ds, cfg.output_size, category=category)!r})")
         if ds == "lsun":
             lmdb_env = _find_lsun_lmdb(os.path.join(cfg.data_dir, "lsun"),
                                        category=cfg.lsun_category)

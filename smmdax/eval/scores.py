@@ -119,10 +119,15 @@ def _poly_kernel(x: Array, y: Array, degree: int = 3,
 def mmd_diff_var(k_yy: Array, k_zz: Array, k_xy: Array, k_xz: Array) -> float:
     """Variance of MMD^2_u(X,Y) - MMD^2_u(X,Z) under the shared-X
     coupling — Bounliphone et al., "A Test of Relative Similarity for
-    Model Selection in Generative Models", ICLR 2016 (arXiv:1511.04581)
-    eq. (12)-(13): the asymptotic variance is 4 zeta_1-style covariance
-    built from the three kernel blocks, including the CROSS-covariance
-    terms (t7..t9) the shared reference sample induces.
+    Model Selection in Generative Models", ICLR 2016 (arXiv:1511.04581):
+    the leading 4 zeta_1 covariance built from the three kernel blocks
+    (including the CROSS-covariance terms t7..t9 the shared reference
+    sample induces) plus the second-order 2 zeta_2 term.  zeta_1 alone
+    is a signed combination of empirical moments that can come out
+    ~zero (or slightly negative) exactly when the two candidates are
+    similar — the regime the LR scheduler tests — while the
+    mean-of-squares-shaped zeta_2 keeps the full estimate positive
+    there, so the complete estimator is used.
 
     X is the reference sample; Y, Z the two model samples; all three
     the same size m (the test is defined for equal sizes).
@@ -152,7 +157,15 @@ def mmd_diff_var(k_yy: Array, k_zz: Array, k_xy: Array, k_xz: Array) -> float:
     t9 = (1.0 / (r ** 2 * m)) * (k_zz_nd @ k_xz.T).sum() - u_zz * u_xz
 
     zeta1 = t1 + t2 + t3 + t4 + t5 + t6 - 2.0 * (t7 + t8 + t9)
-    return (4.0 * (m - 2) / (m * (m - 1))) * zeta1
+
+    # zeta_2: variance of the full second-order U-statistic kernel
+    # h((x_i,y_i,z_i),(x_j,y_j,z_j)) (equal sizes only)
+    h = k_yy_nd - k_zz_nd - k_xy.T - k_xy + k_xz + k_xz.T
+    zeta2 = (1.0 / (m * (m - 1))) * (h ** 2).sum() \
+        - ((u_yy - 2.0 * u_xy) - (u_zz - 2.0 * u_xz)) ** 2
+
+    return (4.0 * (m - 2) / (m * (m - 1))) * zeta1 \
+        + (2.0 / (m * (m - 1))) * zeta2
 
 
 def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
@@ -187,9 +200,17 @@ def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
         u_zz = (k_zz.sum() - np.trace(k_zz)) / (m * (m - 1))
         u_xy = k_xy.mean()
         u_xz = k_xz.mean()
-        # MMD^2(X,Y) - MMD^2(X,Z); the K_XX term is common and cancels
+        # MMD^2(X,Z) - MMD^2(X,Y): positive favors A (= Y, the current
+        # samples); the common K_XX term cancels in the difference
         diff = (u_zz - 2.0 * u_xz) - (u_yy - 2.0 * u_xy)
-        var = max(mmd_diff_var(k_yy, k_zz, k_xy, k_xz), 1e-12)
+        var = mmd_diff_var(k_yy, k_zz, k_xy, k_xz)
+        if var <= 1e-12:
+            # degenerate variance estimate (candidates numerically
+            # indistinguishable): inconclusive, not infinitely
+            # significant — never divide by the clamp floor
+            ts.append(0.0)
+            ps.append(0.5)
+            continue
         t = float(diff / np.sqrt(var))
         ts.append(t)
         ps.append(1.0 - _norm_cdf(t))

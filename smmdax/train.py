@@ -373,33 +373,51 @@ def jit_train_step_on_device(cfg: Config, dsteps: int, gsteps: int,
       link adds 2-3x run-to-run swings to large-image wall times; with
       data synthesized in-program the measurement is the device-bound
       framework cost alone (tools/bench_large.py, BASELINE.md rows).
-    * ``on_device_data`` training on the synthetic dataset without a
-      host pipeline.
+    * ``on_device_data`` hostless smoke training.  NOTE: the draws are
+      uniform noise, NOT the host SyntheticImages distribution —
+      scoring against the host source would be meaningless, so the
+      config rejects ``compute_scores`` with this flag.
 
-    Determinism/resume are preserved: the batch is a pure function of
-    ``state.rng`` (folded on a fixed tag), which is checkpointed and
-    advances once per macro-step, so exact-resume == uninterrupted.
+    Determinism/resume are preserved, and K-invariance holds: the
+    batch for macro-step s is drawn INSIDE the scan body from that
+    step's ``state.rng`` (folded on a fixed tag), so it is a pure
+    function of the RNG chain — the same at any ``steps_per_dispatch``
+    and across resumes (both tested).
     """
     per_step = dsteps + gsteps
     shape = (per_step, cfg.real_batch_size) + cfg.image_shape
-    if steps_per_dispatch > 1:
-        shape = (steps_per_dispatch,) + shape
 
-    if mesh is None or len(mesh.devices.flat) == 1:
-        # unjitted composition: the whole synth+step fuses in ONE jit
-        # below (no nested-jit donation warnings)
-        base = _scan_dispatches(build_train_step(cfg, dsteps, gsteps),
-                                steps_per_dispatch)
-    else:
+    if mesh is not None and len(mesh.devices.flat) > 1:
         base = jit_train_step(cfg, dsteps, gsteps, mesh=mesh, mode=mode,
                               steps_per_dispatch=steps_per_dispatch)
 
-    def synth(state: TrainState):
+        def synth_multi(state: TrainState):
+            # multi-device path keeps the one-draw-per-dispatch shape
+            # (the per-step chain below would need per-shard plumbing);
+            # measurement mode only
+            rng = jax.random.fold_in(state.rng, 0x0DDDA7A)
+            full = shape if steps_per_dispatch == 1 \
+                else (steps_per_dispatch,) + shape
+            real = jax.random.uniform(rng, full, minval=-1.0, maxval=1.0)
+            return base(state, real)
+
+        return jax.jit(synth_multi, donate_argnums=(0,))
+
+    single = build_train_step(cfg, dsteps, gsteps)
+
+    def synth_step(state: TrainState, _):
         # folded on a constant so the data stream is independent of the
         # per-update rngs the step itself splits from state.rng
         rng = jax.random.fold_in(state.rng, 0x0DDDA7A)
         real = jax.random.uniform(rng, shape, minval=-1.0, maxval=1.0)
-        return base(state, real)
+        return single(state, real)
+
+    def synth(state: TrainState):
+        if steps_per_dispatch == 1:
+            return synth_step(state, None)
+        state, metrics = jax.lax.scan(synth_step, state, None,
+                                      length=steps_per_dispatch)
+        return state, jax.tree.map(lambda x: x[-1], metrics)
 
     return jax.jit(synth, donate_argnums=(0,))
 

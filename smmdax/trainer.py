@@ -336,7 +336,10 @@ class Trainer:
                 parts = []
                 warm = None
                 for i in range(k_eff):
-                    s, (w, b) = q.get()
+                    # bounded: a producer thread killed by a data error
+                    # must fail loudly here, not hang the process while
+                    # it holds the one-at-a-time TPU chip claim
+                    s, (w, b) = q.get(timeout=600)
                     assert s == step + i, (s, step, i)
                     assert warm is None or warm == w   # boundary-clipped
                     warm = w

@@ -81,6 +81,8 @@ def assemble_toy_animation(out_dir: str,
         from PIL import Image
     except Exception:
         return None
+    if not os.path.isdir(out_dir):     # no frame was ever written (short
+        return None                    # run / matplotlib unavailable)
     frames = sorted(f for f in os.listdir(out_dir)
                     if f.startswith("toy_") and f.endswith(".png"))
     if len(frames) < 2:

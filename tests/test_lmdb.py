@@ -276,6 +276,37 @@ def test_lsun_category_selection(tmp_path):
     assert _find_lsun_lmdb(solo).endswith("kitchen_train_lmdb")
 
 
+def test_packed_cache_respects_lsun_category(tmp_path):
+    """A category-less packed cache must NOT serve an explicit
+    --lsun_category request (it records no scene provenance); the
+    per-scene cache path does (review finding r3)."""
+    import shutil
+
+    from smmdax.data.convert import pack_lsun, packed_path
+    from smmdax.data.pipeline import ArraySource
+
+    _write_lsun_fixture(str(tmp_path))
+    env = os.path.join(str(tmp_path), "lsun", "bedroom_train_lmdb")
+    generic = packed_path(str(tmp_path), "lsun", 64)
+    pack_lsun(env, generic, size=64, log_every=0)
+
+    # category-less request: generic cache serves it (existing behavior)
+    cfg = Config(dataset="lsun", output_size=64, data_dir=str(tmp_path))
+    assert isinstance(make_dataset(cfg), ArraySource)
+
+    # explicit category: the generic cache is skipped; falls back to
+    # the live LMDB for the requested scene
+    cfg_cat = cfg.replace(lsun_category="bedroom_train")
+    src = make_dataset(cfg_cat)
+    assert isinstance(src, LSUNSource)
+
+    # the per-scene cache is honored once it exists
+    per_scene = packed_path(str(tmp_path), "lsun", 64,
+                            category="bedroom_train")
+    shutil.copy(generic, per_scene)
+    assert isinstance(make_dataset(cfg_cat), ArraySource)
+
+
 def test_roundtrip_deep_branch_tree(tmp_path):
     """Multiple branch LEVELS (small psize forces ~24 entries/leaf and
     ~27 refs/branch): LSUN-scale trees are deeper than one branch page."""

@@ -138,6 +138,34 @@ def test_steps_per_dispatch_multi_device():
         assert np.isfinite(float(v)), (k, v)
 
 
+def test_on_device_data_dispatch_invariant():
+    """on-device synthesis draws each macro-step's batch inside the
+    scan body from that step's RNG — so K=2 dispatching is bit-equal
+    to K=1 (the review found the one-draw-per-dispatch version made
+    the data stream depend on dispatch grouping)."""
+    from smmdax.train import jit_train_step_on_device
+    cfg = _tiny_cfg(on_device_data=True)
+    s1 = create_state(cfg, jax.random.PRNGKey(3))
+    step1 = jit_train_step_on_device(cfg, cfg.dsteps, cfg.gsteps)
+    for _ in range(4):
+        s1, m1 = step1(s1)
+    s2 = create_state(cfg, jax.random.PRNGKey(3))
+    step2 = jit_train_step_on_device(cfg, cfg.dsteps, cfg.gsteps,
+                                     steps_per_dispatch=2)
+    for _ in range(2):
+        s2, m2 = step2(s2)
+    assert int(s2.step) == 4
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in m1:
+        np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]))
+
+
+def test_on_device_data_rejects_scoring():
+    with pytest.raises(ValueError, match="compute_scores"):
+        _tiny_cfg(on_device_data=True, compute_scores=True)
+
+
 def test_sample_shapes():
     cfg = _tiny_cfg()
     state = create_state(cfg, jax.random.PRNGKey(0))

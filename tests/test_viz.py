@@ -64,3 +64,5 @@ def test_assemble_toy_animation(tmp_path):
     assert gif is not None and gif.endswith("toy_animation.gif")
     with Image.open(gif) as im:
         assert im.is_animated and im.n_frames == 3
+    # a run that never wrote a frame (dir never created) must not crash
+    assert assemble_toy_animation(str(tmp_path / "never_created")) is None

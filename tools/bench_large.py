@@ -87,7 +87,13 @@ def _measure_on_device(cfg, windows: int, steps_per_window: int) -> dict:
 
 
 def _measure_tunneled(cfg, windows: int, steps_per_window: int) -> dict:
-    """The host-fed path (uint8 over the link) for comparison."""
+    """The host-fed path (uint8 over the link) for comparison.  Host
+    batch assembly runs on a producer thread exactly like the Trainer,
+    so the timed window measures device + transfer, not host numpy
+    serialized with dispatch (which would overstate the link's cost)."""
+    import queue
+    import threading
+
     from smmdax.data import make_dataset
     from smmdax.train import create_state, jit_train_step
     source = make_dataset(cfg)
@@ -95,21 +101,25 @@ def _measure_tunneled(cfg, windows: int, steps_per_window: int) -> dict:
     state = create_state(cfg, jax.random.PRNGKey(cfg.random_seed))
     step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
 
-    def batch(i):
+    def make(i):
         flat = source.batch_u8(per_step * cfg.batch_size, key=i)
-        return jnp.asarray(flat.reshape((per_step, cfg.batch_size)
-                                        + flat.shape[1:]))
+        return flat.reshape((per_step, cfg.batch_size) + flat.shape[1:])
 
-    for i in range(2):
-        state, metrics = step(state, batch(i))
+    warm = 4
+    total = warm + windows * steps_per_window
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+    threading.Thread(
+        target=lambda: [q.put(make(i)) for i in range(total)],
+        daemon=True).start()
+
+    for _ in range(warm):
+        state, metrics = step(state, jnp.asarray(q.get(timeout=300)))
         float(metrics["d_loss_mmd2"])
     times = []
-    n = 2
     for w in range(windows):
         t0 = time.time()
-        for i in range(steps_per_window):
-            state, metrics = step(state, batch(n))
-            n += 1
+        for _ in range(steps_per_window):
+            state, metrics = step(state, jnp.asarray(q.get(timeout=300)))
         _ = [float(jnp.sum(x))
              for x in jax.tree.leaves(state.d_params)[:3]]
         float(metrics["d_loss_mmd2"])

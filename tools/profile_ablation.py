@@ -95,7 +95,8 @@ def main(argv=None) -> None:
     from smmdax.train import enable_compilation_cache
     enable_compilation_cache()
     dev = jax.devices()[0]
-    peak = 197e12 if "v5" in dev.device_kind else None
+    from bench import PEAK_FLOPS      # single source of per-chip peaks
+    peak = PEAK_FLOPS.get(dev.device_kind)
     per_step_imgs = None
     for name, cfg in _ablations(a.batch).items():
         med, flops = _time_step(cfg)
