@@ -1,11 +1,17 @@
 """Standalone scoring CLI (SURVEY.md component #10 / call stack §3.4):
 
   python compute_scores.py REAL FAKE [--extractor random_conv|inception]
+  python compute_scores.py REAL FAKE --compare OTHER_FAKE
 
 REAL/FAKE are .npy/.npz files of images (N,H,W,C in [-1,1] or uint8) or
 of precomputed features (N,d with d<=4096 and ndim==2), or directories
 of PNG/JPEG images.  Prints FID, KID (mean +- std) and, when class
 probabilities are available, IS.
+
+``--compare OTHER_FAKE`` additionally runs the Bounliphone et al.
+relative-MMD three-sample test (the scheduler's decision rule) between
+the two candidate sets against REAL: small p means FAKE is
+significantly closer to REAL than OTHER_FAKE.
 """
 
 from __future__ import annotations
@@ -49,9 +55,13 @@ def main(argv=None) -> None:
                    help="frozen-TF-FID-graph pooling semantics for the "
                         "Inception extractor; auto = detect from the fc "
                         "width (1008 = FID weight port)")
+    p.add_argument("--compare", default=None,
+                   help="second candidate set: run the relative-MMD "
+                        "three-sample test (FAKE vs COMPARE, against REAL)")
     p.add_argument("--data_dir", default="./data")
     p.add_argument("--subset_size", type=int, default=1000)
     p.add_argument("--n_subsets", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     from smmdax.eval import (fid_from_features, get_feature_extractor,
@@ -101,6 +111,16 @@ def main(argv=None) -> None:
     if fake_probs is not None:
         is_mean, is_std = inception_score(fake_probs)
         print(f"IS: {is_mean:.4f} +- {is_std:.4f}")
+    if args.compare:
+        from smmdax.eval.scores import relative_mmd_test
+        fo = to_features(_load(args.compare))
+        p_val, t_stat = relative_mmd_test(
+            fr, ff, fo,
+            subset_size=min(args.subset_size, len(fr), len(ff), len(fo)),
+            n_subsets=args.n_subsets, seed=args.seed)
+        print(f"relative-MMD test (FAKE closer than COMPARE?): "
+              f"p={p_val:.4f} t={t_stat:.3f} "
+              f"({'FAKE significantly closer' if p_val < 0.05 else 'COMPARE significantly closer' if p_val > 0.95 else 'inconclusive'})")
     print(f"(extractor: {used}, n_real={len(fr)}, n_fake={len(ff)})")
 
 

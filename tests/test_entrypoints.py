@@ -69,6 +69,26 @@ def test_compute_scores_cli(tmp_path):
     assert "FID:" in out.stdout and "KID:" in out.stdout
 
 
+def test_compute_scores_cli_relative_test(tmp_path):
+    """--compare runs the Bounliphone three-sample test between two
+    candidate sets (small p = first candidate significantly closer)."""
+    rng = np.random.default_rng(1)
+    real = rng.standard_normal((600, 16)).astype(np.float32)
+    close = (rng.standard_normal((600, 16)) + 0.1).astype(np.float32)
+    far = (rng.standard_normal((600, 16)) + 1.0).astype(np.float32)
+    rp, cp, fp = (str(tmp_path / n) for n in ("r.npy", "c.npy", "f.npy"))
+    np.save(rp, real)
+    np.save(cp, close)
+    np.save(fp, far)
+    out = subprocess.run(
+        [sys.executable, "compute_scores.py", rp, cp, "--compare", fp,
+         "--subset_size", "300", "--n_subsets", "3"],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "relative-MMD test" in out.stdout
+    assert "FAKE significantly closer" in out.stdout
+
+
 def test_main_visualize_interpolation_cli(tmp_path):
     """--visualize produces the latent interpolation grid alongside the
     sample grid (the reference lineage's visualize option)."""
