@@ -118,6 +118,18 @@ class Config:
     scheduler_p_threshold: float = 0.1   # pvalue arm: decay unless the test
                                          # rejects "no improvement" at this
                                          # level
+    scheduler_patience: int = 3          # consecutive failed three-sample
+                                         # tests before the LR decays (the
+                                         # lineage's protocol decays after
+                                         # ~3 consecutive no-improvement
+                                         # verdicts [R-MED]; 1 = decay
+                                         # immediately).  The counter lives
+                                         # in TrainState, so resume keeps
+                                         # scheduler decisions exact.  A
+                                         # live run without patience showed
+                                         # why it exists: every quality
+                                         # plateau compounds decay (19x in
+                                         # 48k steps -> LR frozen)
     decay_rate: float = 0.8
     lr_decay_steps: int = 0              # optional fixed exponential decay interval
     reload_best_on_decay: bool = False   # on a failed three-sample test, also

@@ -53,6 +53,10 @@ class TrainState(struct.PyTreeNode):
     d_opt_state: Any
     lr_g: Array                       # dynamic (KID scheduler decays these
     lr_d: Array                       #  without recompiling)
+    sched_fails: Array = None         # int32: consecutive failed three-
+                                      # sample tests (scheduler patience
+                                      # state; in TrainState so resume
+                                      # reproduces decay decisions exactly)
 
 
 def _adam(cfg: Config) -> optax.GradientTransformation:
@@ -88,6 +92,7 @@ def create_state(cfg: Config, rng: jax.Array) -> TrainState:
         d_opt_state=adam.init(d_params),
         lr_g=jnp.asarray(cfg.lr_g, jnp.float32),
         lr_d=jnp.asarray(cfg.lr_d, jnp.float32),
+        sched_fails=jnp.zeros((), jnp.int32),
     )
 
 

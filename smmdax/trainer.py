@@ -180,6 +180,8 @@ class Trainer:
                 self._best_feats, self._best_kid = fake_feats, kid
                 self.ckpt.save_best(self.state, meta={
                     "best_kid": float(kid), "best_step": int(step)})
+                self.state = self.state.replace(
+                    sched_fails=jnp.zeros((), jnp.int32))
                 out["lr_decayed"] = 0.0
             else:
                 # three-sample test vs best snapshot.  Subsets are
@@ -204,7 +206,22 @@ class Trainer:
                         n_subsets=cfg.score_subsets, seed=step)
                     out["three_sample_win"] = win
                     improved = win > 0.5
-                if not improved:   # no improvement -> decay LR
+                if improved:
+                    self.state = self.state.replace(
+                        sched_fails=jnp.zeros((), jnp.int32))
+                    out["lr_decayed"] = 0.0
+                else:
+                    # patience: decay only after scheduler_patience
+                    # CONSECUTIVE failed tests (the lineage's protocol
+                    # [R-MED]); counter rides TrainState so resumed
+                    # runs reproduce the decision sequence exactly
+                    fails = int(self.state.sched_fails) + 1
+                    out["sched_fails"] = float(fails)
+                    if fails < cfg.scheduler_patience:
+                        self.state = self.state.replace(
+                            sched_fails=jnp.asarray(fails, jnp.int32))
+                        out["lr_decayed"] = 0.0
+                        return out
                     new_lr_d = self.state.lr_d * cfg.decay_rate
                     new_lr_g = self.state.lr_g * cfg.decay_rate
                     if cfg.reload_best_on_decay:
@@ -219,10 +236,9 @@ class Trainer:
                                 step=self.state.step, rng=self.state.rng)
                             out["reloaded_best"] = 1.0
                     self.state = self.state.replace(
-                        lr_d=new_lr_d, lr_g=new_lr_g)
+                        lr_d=new_lr_d, lr_g=new_lr_g,
+                        sched_fails=jnp.zeros((), jnp.int32))
                     out["lr_decayed"] = 1.0
-                else:
-                    out["lr_decayed"] = 0.0
         return out
 
     # ------------------------------------------------------------------

@@ -190,7 +190,8 @@ def test_reload_best_on_decay(tmp_path, monkeypatch):
                compute_scores=True, score_every=1, no_of_samples=64,
                score_subset_size=64, score_subsets=4,
                MMD_lr_scheduler=True, reload_best_on_decay=True,
-               three_sample_test="vote", checkpoint_every=0)
+               three_sample_test="vote", scheduler_patience=1,
+               checkpoint_every=0)
     t = Trainer(cfg)
     t.train()                                 # saves a best snapshot
     best = t.ckpt.restore_best(t.state)
@@ -226,7 +227,7 @@ def test_pvalue_scheduler_arm(tmp_path, monkeypatch):
                compute_scores=True, score_every=1, no_of_samples=64,
                score_subset_size=64, score_subsets=4,
                MMD_lr_scheduler=True, three_sample_test="pvalue",
-               checkpoint_every=0)
+               scheduler_patience=1, checkpoint_every=0)
     assert cfg.three_sample_test == "pvalue"
     t = Trainer(cfg)
     t.train()                                 # saves a best snapshot
@@ -256,6 +257,47 @@ def test_pvalue_scheduler_arm(tmp_path, monkeypatch):
     out = t._score(int(t.state.step))
     assert out["lr_decayed"] == 0.0
     assert float(t.state.lr_d) == pytest.approx(lr_now)
+
+
+def test_scheduler_patience(tmp_path, monkeypatch):
+    """scheduler_patience: only N CONSECUTIVE failed three-sample tests
+    decay the LR; an improvement in between resets the counter (the
+    lineage's protocol [R-MED]); the counter rides TrainState."""
+    cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
+               output_size=32, gf_dim=8, df_dim=8, max_iteration=2,
+               compute_scores=True, score_every=1, no_of_samples=64,
+               score_subset_size=64, score_subsets=4,
+               MMD_lr_scheduler=True, three_sample_test="pvalue",
+               scheduler_patience=2, checkpoint_every=0)
+    t = Trainer(cfg)
+    t.train()
+    lr0 = float(t.state.lr_d)
+    t._best_kid = -1.0                       # force the test path
+
+    import smmdax.trainer as trainer_mod
+    p_box = {"p": 0.9}
+    monkeypatch.setattr(trainer_mod, "relative_mmd_test",
+                        lambda *a, **k: (p_box["p"], 0.0))
+
+    out = t._score(int(t.state.step))        # fail #1: no decay yet
+    assert out["lr_decayed"] == 0.0 and out["sched_fails"] == 1.0
+    assert float(t.state.lr_d) == pytest.approx(lr0)
+
+    out = t._score(int(t.state.step))        # fail #2: patience reached
+    assert out["lr_decayed"] == 1.0
+    assert float(t.state.lr_d) == pytest.approx(lr0 * cfg.decay_rate)
+    assert int(t.state.sched_fails) == 0     # reset after decay
+
+    out = t._score(int(t.state.step))        # fail #1 of a new streak
+    assert out["lr_decayed"] == 0.0
+    p_box["p"] = 0.01
+    out = t._score(int(t.state.step))        # improvement: counter resets
+    assert out["lr_decayed"] == 0.0
+    assert int(t.state.sched_fails) == 0
+    p_box["p"] = 0.9
+    out = t._score(int(t.state.step))        # fail #1 again, not #2
+    assert out["lr_decayed"] == 0.0
+    assert float(t.state.lr_d) == pytest.approx(lr0 * cfg.decay_rate)
 
 
 def test_inloop_inception_score_logged_when_probs_available(tmp_path):
