@@ -200,6 +200,43 @@ class Config:
                                          # pure function of the checkpointed
                                          # RNG chain (tested)
 
+    data_placement: str = "host"         # "device": upload the WHOLE dataset
+                                         # to HBM once and gather each batch
+                                         # IN-PROGRAM from the RNG chain —
+                                         # zero per-step host->device
+                                         # transfer.  Motivated by a measured
+                                         # ~1.2 MB/step host RSS leak in the
+                                         # tunneled device client (one
+                                         # staging buffer retained per
+                                         # transfer, BASELINE.md r3 row) that
+                                         # OOM-killed two >100k-step runs —
+                                         # and it removes the link from the
+                                         # step entirely (it was the wall-
+                                         # clock bottleneck).  Unlike
+                                         # on_device_data this trains on the
+                                         # REAL dataset, so scoring works.
+                                         # Batches remain a pure function of
+                                         # the checkpointed RNG chain
+                                         # (exact-resume + K-invariance
+                                         # tested); the index stream is
+                                         # device-keyed, so it differs from
+                                         # the host pipeline's numpy stream.
+    device_data_pool: int = 50000        # for procedural sources (synthetic)
+                                         # under data_placement=device: size
+                                         # of the fixed "training set" pool
+                                         # drawn once at startup
+    rss_limit_gb: float = 0.0            # >0: if host RSS exceeds this at a
+                                         # log boundary, checkpoint and exit
+                                         # cleanly (the leak above makes
+                                         # host-fed runs creep; this turns
+                                         # an eventual OOM kill into a
+                                         # graceful preemption)
+    auto_restart: bool = False           # with rss_limit_gb: re-exec the
+                                         # process after the watchdog
+                                         # checkpoint — the fresh process
+                                         # auto-resumes, so long host-fed
+                                         # runs self-heal instead of dying
+
     # --- observability (SURVEY.md §5: tracing/profiling + numerics
     #     harness, the TPU analogs of TensorBoard + tf.check_numerics) ---
     debug_nans: bool = False         # enable jax NaN checks (slow; debugging)
@@ -258,6 +295,12 @@ class Config:
                 "would compare against; FID/KID/scheduler decisions would be "
                 "meaningless. It is a measurement / hostless-smoke mode: "
                 "disable compute_scores with it.")
+        if self.data_placement not in ("host", "device"):
+            raise ValueError("data_placement must be host or device")
+        if self.data_placement == "device" and self.on_device_data:
+            raise ValueError(
+                "data_placement=device gathers the real dataset in-program; "
+                "on_device_data synthesizes noise in-program — pick one")
         up = self.use_pallas
         if isinstance(up, bool):
             up = "on" if up else "off"

@@ -361,3 +361,27 @@ def macro_batch_at(source: DataSource, step: int, per_step: int,
                    batch: int) -> Array:
     flat = source.batch(per_step * batch, key=step)
     return flat.reshape((per_step, batch) + flat.shape[1:])
+
+
+# key for the device-resident pool draw; the trainer's step keys are
+# step indices, scoring uses 2**31 + 1 and the toy visualizer 2**31,
+# so this draw never collides with either stream
+_POOL_KEY = 2**31 + 2
+
+
+def materialize_u8(source: DataSource, pool: int = 0) -> Optional[Array]:
+    """The dataset as ONE uint8 (N, H, W, C) array, for HBM residence
+    (``data_placement=device``): in-memory array sources hand over their
+    backing array; procedural / decode-on-demand sources with a
+    ``batch_u8`` draw a fixed ``pool``-sample training set once (keyed
+    off the step range, so it is deterministic and disjoint from the
+    step/scoring streams).  Returns None when neither is possible
+    (float vector sources like the GaussianMix toy)."""
+    data = getattr(source, "data", None)
+    if isinstance(data, np.ndarray) and data.ndim == 4:
+        if data.dtype == np.uint8:
+            return data
+        return np.round((np.asarray(data) + 1.0) * 127.5).astype(np.uint8)
+    if pool > 0 and hasattr(source, "batch_u8"):
+        return source.batch_u8(pool, key=_POOL_KEY)
+    return None

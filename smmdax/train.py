@@ -427,6 +427,67 @@ def jit_train_step_on_device(cfg: Config, dsteps: int, gsteps: int,
     return jax.jit(synth, donate_argnums=(0,))
 
 
+def jit_train_step_device_data(cfg: Config, dsteps: int, gsteps: int,
+                               mesh: Optional[Mesh] = None,
+                               mode: str = "gspmd",
+                               steps_per_dispatch: int = 1):
+    """The train step over a DEVICE-RESIDENT dataset
+    (``data_placement=device``): ``step(state, data) -> (state,
+    metrics)`` where ``data`` is the whole uint8 dataset already on
+    device (committed, NOT donated — it is reused every dispatch).
+    Each macro-step gathers its (dsteps+gsteps, B) batch in-program by
+    indices drawn from that step's ``state.rng`` (folded on a fixed
+    tag, distinct from ``on_device_data``'s), so batches stay a pure
+    function of the checkpointed RNG chain: exact resume holds, and on
+    a single chip the stream is ``steps_per_dispatch``-invariant (the
+    fold happens INSIDE the scan body, per macro-step — both tested).
+
+    vs the host pipeline: zero per-step host->device transfer.  That
+    removes the tunneled link from the step wall-clock (BASELINE.md:
+    the link, not the device, bounds host-fed steps here) and sidesteps
+    the device client's per-transfer staging-buffer leak (~payload
+    bytes retained per transfer; OOM-killed two 100k-step runs) —
+    measured flat-RSS in /tmp/leak_probe runs.  The index stream is
+    threefry-keyed on device, so it deliberately does NOT bit-match
+    the host pipeline's numpy stream; both are deterministic.
+    """
+    per_step = dsteps + gsteps
+    nb = cfg.real_batch_size
+
+    if mesh is not None and len(mesh.devices.flat) > 1:
+        base = jit_train_step(cfg, dsteps, gsteps, mesh=mesh, mode=mode,
+                              steps_per_dispatch=steps_per_dispatch)
+
+        def gather_multi(state: TrainState, data: Array):
+            # multi-device path draws the whole dispatch's indices from
+            # one fold (mirrors jit_train_step_on_device's mesh path;
+            # K>1 is therefore not bit-identical to K=1 here)
+            rng = jax.random.fold_in(state.rng, 0x0DA7A0D1)
+            full = ((per_step, nb) if steps_per_dispatch == 1
+                    else (steps_per_dispatch, per_step, nb))
+            idx = jax.random.randint(rng, full, 0, data.shape[0])
+            return base(state, data[idx])
+
+        return jax.jit(gather_multi, donate_argnums=(0,))
+
+    single = build_train_step(cfg, dsteps, gsteps)
+
+    def data_step(state: TrainState, data: Array):
+        rng = jax.random.fold_in(state.rng, 0x0DA7A0D1)
+        idx = jax.random.randint(rng, (per_step, nb), 0, data.shape[0])
+        return single(state, data[idx])
+
+    def multi(state: TrainState, data: Array):
+        if steps_per_dispatch == 1:
+            return data_step(state, data)
+        state, metrics = jax.lax.scan(
+            lambda s, _: data_step(s, data), state, None,
+            length=steps_per_dispatch)
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 _SAMPLER_CACHE: Dict[Config, Callable] = {}
 _SAMPLER_CACHE_MAX = 8    # bounded: a long sweep over many configs must
                           # not accumulate compiled executables forever

@@ -76,7 +76,12 @@ class Trainer:
         key = (dsteps, k)
         fn = self._step_cache.get(key)
         if fn is None:
-            if self.cfg.on_device_data:
+            if self.cfg.data_placement == "device":
+                from smmdax.train import jit_train_step_device_data
+                fn = jit_train_step_device_data(
+                    self.cfg, dsteps, self.cfg.gsteps, self.mesh,
+                    mode=self.cfg.dp_mode, steps_per_dispatch=k)
+            elif self.cfg.on_device_data:
                 from smmdax.train import jit_train_step_on_device
                 fn = jit_train_step_on_device(
                     self.cfg, dsteps, self.cfg.gsteps, self.mesh,
@@ -252,6 +257,27 @@ class Trainer:
         # cleanly; the next run auto-resumes from that checkpoint.
         import signal
         self._preempted = False
+        self._rss_tripped = False
+
+        if cfg.data_placement == "device":
+            # the whole dataset rides the link ONCE; every batch after
+            # is an in-program gather (see jit_train_step_device_data)
+            from smmdax.data.pipeline import materialize_u8
+            arr = materialize_u8(self.source, cfg.device_data_pool)
+            if arr is None:
+                raise ValueError(
+                    f"data_placement=device needs an in-memory or "
+                    f"pool-drawable dataset; {type(self.source).__name__} "
+                    f"offers neither")
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                self._dev_data = jax.device_put(
+                    arr, NamedSharding(self.mesh, PartitionSpec()))
+            else:
+                self._dev_data = jax.device_put(arr)
+            mb = arr.nbytes / 2**20
+            print(f"[smmdax] device-resident dataset: {arr.shape[0]} "
+                  f"samples, {mb:.0f} MB uploaded once")
 
         def _on_term(signum, frame):
             self._preempted = True
@@ -309,7 +335,7 @@ class Trainer:
                         continue
                 s += 1
 
-        if not cfg.on_device_data:
+        if not cfg.on_device_data and cfg.data_placement != "device":
             producer = threading.Thread(target=_producer, args=(step,),
                                         daemon=True)
             producer.start()
@@ -323,6 +349,12 @@ class Trainer:
                 signal.signal(signal.SIGINT, old_int)
         self.ckpt.save(int(self.state.step), jax.device_get(self.state),
                        wait=True)
+        if self._rss_tripped and cfg.auto_restart:
+            # state is checkpointed; replace the bloated process image
+            # and let the fresh one auto-resume — long host-fed runs
+            # self-heal instead of OOM-dying
+            print("[smmdax] rss watchdog: re-exec to reclaim host memory")
+            self._reexec()
         if cfg.dataset == "gaussian_mix" and cfg.sample_every:
             # stitch the per-interval witness frames into the animation
             # artifact (reference §3.5's matplotlib animation)
@@ -344,10 +376,12 @@ class Trainer:
             # crosses an event boundary (metrics cadence, sampling,
             # checkpoint, scoring and the warm-up switch are unaffected)
             k_eff = min(cfg.steps_per_dispatch, self._next_boundary(step) - step)
-            if cfg.on_device_data:
+            if cfg.on_device_data or cfg.data_placement == "device":
                 warm = self._dsteps_at(step) == cfg.start_dsteps and \
                     cfg.start_dsteps != cfg.dsteps
-                batch = None
+                # device placement: the resident dataset IS the batch
+                # argument (committed, undonated); on_device_data: none
+                batch = getattr(self, "_dev_data", None)
             else:
                 parts = []
                 warm = None
@@ -387,6 +421,15 @@ class Trainer:
                 m["images_per_sec"] = timer.rate()
                 self.writer.write(step, m)
                 timer.reset()
+                if cfg.rss_limit_gb and self._rss_gb() > cfg.rss_limit_gb:
+                    # host RSS creeps on host-fed runs (per-transfer
+                    # staging leak in the device client, BASELINE.md):
+                    # trip the graceful preemption path BEFORE the OOM
+                    # killer does it the hard way
+                    print(f"[smmdax] rss watchdog: {self._rss_gb():.1f} GB"
+                          f" > limit {cfg.rss_limit_gb} GB")
+                    self._rss_tripped = True
+                    self._preempted = True
 
             if cfg.sample_every and step % cfg.sample_every == 0:
                 self._save_samples(step)
@@ -397,6 +440,25 @@ class Trainer:
             if cfg.compute_scores and step % cfg.score_every == 0:
                 scores = self._score(step)
                 self.writer.write(step, scores)
+
+    @staticmethod
+    def _rss_gb() -> float:
+        """Current process resident set, in GB (Linux)."""
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 2**20
+        except OSError:
+            pass
+        return 0.0
+
+    def _reexec(self) -> None:
+        """Replace this process with a fresh copy of itself (same argv);
+        the new process resumes from the checkpoint just written.
+        Separate method so tests can stub it."""
+        import sys
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
     def _save_samples(self, step: int) -> None:
         cfg = self.cfg
