@@ -20,6 +20,12 @@ Round-3 structure (VERDICT r2 items 1+3):
 * batch-size sweep B in {128, 256, 512} at the best K, reporting MFU
   per point — the measured answer to whether the B=64 step is
   launch/HBM-bound (MFU should climb with B) or hiding an inefficiency.
+* device-resident arm (``data_placement=device``): the CIFAR-sized
+  uint8 pool uploaded to HBM once, every batch gathered in-program
+  from the RNG chain — zero per-step host transfer, link-weather-proof
+  AND real-data training semantics.  The headline takes the better of
+  the host-fed and device-resident arms (both recorded; ``placement``
+  names the winner).
 
 Robustness (VERDICT round-1 item 2): the tunneled link has ±20%
 run-to-run variance, so the headline is the MEDIAN of ``N_WINDOWS``
@@ -261,6 +267,60 @@ def _measure_on_device_sweep(batch_size: int, k: int) -> dict:
     return out
 
 
+def _measure_device_resident(batch_size: int, k: int,
+                             pool: int = 50_000) -> dict:
+    """The production data path (``data_placement=device``): the whole
+    uint8 dataset (CIFAR-10-sized pool) uploaded to HBM once, every
+    batch gathered IN-PROGRAM from the RNG chain.  Zero per-step host
+    transfer — this arm is link-weather-proof AND trains on real-data
+    semantics (unlike the on-device synthesis sweep, scoring works
+    with it), so it is the honest best-configuration headline."""
+    from smmdax.data import make_dataset
+    from smmdax.data.pipeline import materialize_u8
+    from smmdax.train import create_state, jit_train_step_device_data
+    cfg = _flagship_cfg(batch_size, k)
+    src = make_dataset(cfg)
+    data = jax.device_put(materialize_u8(src, pool))
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step_device_data(cfg, cfg.dsteps, cfg.gsteps,
+                                      steps_per_dispatch=k)
+    t0 = time.time()
+    for _ in range(2):
+        state, metrics = step(state, data)
+        float(metrics["d_loss_mmd2"])
+    wu = time.time() - t0
+    per_step = cfg.dsteps + cfg.gsteps
+    n_disp = max(2, STEPS_PER_WINDOW // k)
+    ips = []
+    for _ in range(N_WINDOWS):
+        t0 = time.time()
+        for _ in range(n_disp):
+            state, metrics = step(state, data)
+        _ = [float(jnp.sum(x)) for x in jax.tree.leaves(state.d_params)[:3]]
+        float(metrics["d_loss_mmd2"])
+        elapsed = time.time() - t0
+        ips.append(n_disp * k * per_step * cfg.batch_size / elapsed)
+    med = statistics.median(ips)
+    out = {"images_per_sec": round(med, 2),
+           "windows": [round(w, 1) for w in ips],
+           "min": round(min(ips), 2), "max": round(max(ips), 2),
+           "pool_samples": pool,
+           "final_mmd2": round(float(metrics["d_loss_mmd2"]), 5)}
+    h = _Harness(batch_size, 1)          # flops oracle (K=1 lowering)
+    flops = h.flops_per_macro_step_k1()
+    del h
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    if flops is not None and peak is not None:
+        tfs = flops * (med / (per_step * cfg.batch_size)) / 1e12
+        out["tflops_per_sec"] = round(tfs, 2)
+        out["mfu"] = round(tfs * 1e12 / peak, 4)
+    print(f"# device-resident B={batch_size} K={k} "
+          f"(warmup+compile {wu:.0f}s): {med:.0f} img/s "
+          f"(windows={['%.0f' % w for w in ips]}, "
+          f"mfu={out.get('mfu', 'n/a')})")
+    return out
+
+
 def main() -> None:
     from smmdax.train import enable_compilation_cache
     enable_compilation_cache()
@@ -276,14 +336,27 @@ def main() -> None:
         del h
     best_k = max(sweep_k, key=lambda k: sweep_k[k]["images_per_sec"])
 
-    # --- headline: median of N_WINDOWS at the best K ------------------
+    # --- host-fed arm: median of N_WINDOWS at the best K --------------
     h = _Harness(64, best_k)
     h.warmup()
-    headline = _measure(h, windows=N_WINDOWS,
+    host_fed = _measure(h, windows=N_WINDOWS,
                         steps_per_window=STEPS_PER_WINDOW,
-                        tag=f"headline K={best_k} B=64")
+                        tag=f"host-fed K={best_k} B=64")
     final_mmd2 = float(h.last_metrics["d_loss_mmd2"])
     del h
+
+    # --- device-resident arm (data_placement=device) at the best K ----
+    # the production path for HBM-fitting datasets: dataset uploaded
+    # once, batches gathered in-program — zero per-step host transfer.
+    dev_res = _measure_device_resident(64, best_k)
+
+    # headline = the better data placement at the [SPEC] B=64 point;
+    # both arms are recorded, and `placement` names the winner.
+    if dev_res["images_per_sec"] > host_fed["images_per_sec"]:
+        headline, placement = dev_res, "device"
+        final_mmd2 = dev_res["final_mmd2"]
+    else:
+        headline, placement = host_fed, "host"
 
     # --- MFU ceiling: batch-size sweep, DEVICE-BOUND ------------------
     # on-device batch synthesis (zero host work / transfer): the sweep
@@ -302,7 +375,12 @@ def main() -> None:
         "unit": "images/sec",
         "vs_baseline": round(vs, 4),
         "steps_per_dispatch": best_k,
+        "data_placement": placement,
         **{k: v for k, v in headline.items() if k != "images_per_sec"},
+        "host_fed": {k: v for k, v in host_fed.items()
+                     if k in ("images_per_sec", "min", "max", "mfu")},
+        "device_resident": {k: v for k, v in dev_res.items()
+                            if k in ("images_per_sec", "min", "max", "mfu")},
         "dispatch_sweep": {str(k): v["images_per_sec"]
                            for k, v in sweep_k.items()},
         "batch_sweep": {str(b): {"images_per_sec": v["images_per_sec"],

@@ -14,6 +14,7 @@ resume, dispatch-invariance, and the watchdog's preemption semantics.
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -136,6 +137,38 @@ def test_device_data_batches_come_from_the_pool(tmp_path):
     m_a, m_a2, m_b = run(row_a), run(row_a), run(row_b)
     assert float(m_a["critic_real"]) == float(m_a2["critic_real"])
     assert float(m_a["critic_real"]) != float(m_b["critic_real"])
+
+
+def test_device_data_gspmd_matches_single_device(tmp_path):
+    """The device-resident gather under an 8-shard GSPMD mesh must
+    match the single-device program: at K=1 both draw the SAME index
+    stream (one fold of state.rng, same shape), so the whole step is
+    bit-comparable to f32 reduction tolerance — the same property
+    test_train.py pins for the host-fed path."""
+    from smmdax.train import create_state, jit_train_step_device_data, make_mesh
+
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    cfg = _cfg(str(tmp_path), batch_size=16, real_batch_size=16,
+               device_data_pool=64).replace(num_data_shards=8)
+    pool = jnp.asarray(np.random.default_rng(3).integers(
+        0, 256, (64, 32, 32, 3), np.uint8))
+
+    state_a = create_state(cfg, jax.random.PRNGKey(0))
+    state_b = create_state(cfg, jax.random.PRNGKey(0))
+    step_1 = jit_train_step_device_data(cfg, 1, 1)
+    step_8 = jit_train_step_device_data(cfg, 1, 1, mesh=make_mesh(8))
+
+    for _ in range(2):
+        state_a, m_a = step_1(state_a, pool)
+        state_b, m_b = step_8(state_b, pool)
+
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]),
+                                   rtol=2e-3, atol=2e-5, err_msg=k)
+    for pa, pb in zip(jax.tree.leaves(state_a.d_params),
+                      jax.tree.leaves(state_b.d_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=5e-3, atol=1e-4)
 
 
 # ---------------------------------------------------------------------------
