@@ -225,6 +225,15 @@ class Config:
                                          # under data_placement=device: size
                                          # of the fixed "training set" pool
                                          # drawn once at startup
+    device_data_sharding: str = "replicated"  # on a mesh: "replicated"
+                                         # (every chip holds the whole pool;
+                                         # bit-matches single-device at K=1)
+                                         # or "sharded" (pool partitioned
+                                         # over the data axis, each shard
+                                         # gathers its B/n rows from its own
+                                         # slice — ImageNet64-scale pools
+                                         # ~15 GB fit across chips where
+                                         # replication cannot)
     rss_limit_gb: float = 0.0            # >0: if host RSS exceeds this at a
                                          # log boundary, checkpoint and exit
                                          # cleanly (the leak above makes
@@ -297,6 +306,9 @@ class Config:
                 "disable compute_scores with it.")
         if self.data_placement not in ("host", "device"):
             raise ValueError("data_placement must be host or device")
+        if self.device_data_sharding not in ("replicated", "sharded"):
+            raise ValueError(
+                "device_data_sharding must be replicated or sharded")
         if self.data_placement == "device" and self.on_device_data:
             raise ValueError(
                 "data_placement=device gathers the real dataset in-program; "

@@ -90,10 +90,10 @@ def _pallas(cfg: Config, f_a: Array, f_b: Array,
 
 
 def _ring_eligible(cfg: Config, axis_name: Optional[str]) -> bool:
-    """The ring estimators serve the mixture kernels inside shard_map
-    bodies — including the rq+add_dot (mix_rq_dot) variant, whose
-    data-dependent diagonal the ring/Pallas paths handle explicitly
-    (smmdax.parallel.ring docs)."""
+    """The ring estimators serve EVERY loss-surface kernel inside
+    shard_map bodies — the mixtures, the rq+add_dot (mix_rq_dot)
+    variant, and the pure dot kernel; data-dependent diagonals are
+    handled explicitly (smmdax.parallel.ring docs)."""
     return (axis_name is not None and cfg.use_ring_mmd
             and cfg.kernel in RING_KERNELS)
 

@@ -27,7 +27,7 @@ import jax
 # Overridable per-config via ``pallas_min_rows``.
 DEFAULT_MIN_ROWS = 4096
 
-_PALLAS_KERNELS = ("gaussian", "rq", "distance")
+_PALLAS_KERNELS = ("gaussian", "rq", "distance", "dot")
 
 
 def should_use_pallas(mode: Union[str, bool], kernel: str, m: int, n: int,
@@ -37,8 +37,9 @@ def should_use_pallas(mode: Union[str, bool], kernel: str, m: int, n: int,
 
     mode: "on" | "off" | "auto" (Config normalizes bools to on/off).
     platform: override for tests; defaults to the active JAX backend.
-    Pallas only serves the constant-diagonal mixtures; every other
-    kernel always takes the dense path.
+    The fused path serves every kernel in the loss surface — the
+    mixtures, their mix_rq_dot extension, and the pure dot kernel (the
+    degenerate empty-mixture case; mmd_kernel.canon_kernel).
     """
     if kernel not in _PALLAS_KERNELS:
         return False

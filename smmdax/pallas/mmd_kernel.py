@@ -119,6 +119,21 @@ def kernel_diag(kernel: str, params: Sequence[float]) -> float:
     raise ValueError(kernel)
 
 
+def canon_kernel(kernel: str, params: Sequence[float], add_dot: float):
+    """Canonical (kernel, params, add_dot) triple for the fused paths.
+
+    The pure dot kernel is the mixture machinery's degenerate case: an
+    EMPTY rq mixture plus the mix_rq_dot term at weight 1.0 —
+    k(a, b) = <a, b> exactly, with the data-dependent diagonal
+    k(x, x) = ||x||^2 riding the add_dot support every fused/ring path
+    already owns.  Canonicalizing here makes "dot" a first-class fused
+    kernel with zero new kernel-body code (the empty mixture folds k
+    and g to the dot term alone at trace time)."""
+    if kernel == "dot":
+        return "rq", (), 1.0
+    return kernel, tuple(float(p) for p in params), float(add_dot)
+
+
 # ---------------------------------------------------------------------------
 # forward
 
@@ -235,8 +250,7 @@ def make_fused_mmd_sums(kernel: str, params: Sequence[float],
                         add_dot: float = 0.0):
     """Returns fused_sums(x, y) -> (sum_xx_offdiag, sum_yy_offdiag,
     sum_xy), differentiable w.r.t. x and y (first order)."""
-    params = tuple(float(p) for p in params)
-    add_dot = float(add_dot)
+    kernel, params, add_dot = canon_kernel(kernel, params, add_dot)
 
     @jax.custom_vjp
     def fused_sums(x, y):
@@ -280,6 +294,7 @@ def fused_mmd2(x: Array, y: Array, kernel: str = "rq",
     estimator's masked sums exclude it exactly, and the biased path
     adds the computed per-row diagonal back.
     """
+    kernel, params, add_dot = canon_kernel(kernel, params, add_dot)
     m = jnp.float32(x.shape[0])
     n = jnp.float32(y.shape[0])
     sums = make_fused_mmd_sums(kernel, params, add_dot)(x, y)
@@ -456,8 +471,7 @@ def make_row_stats(kernel: str, params: Sequence[float], exclude_diag: bool,
     (u, c the cotangents of rows/sum_sq; g = dk/d(d2); the factor 2
     from d(d2)/da folded in the wrapper).  ``add_dot`` extends the
     mixture with the mix_rq_dot term (value + both VJP sides)."""
-    params = tuple(float(p) for p in params)
-    add_dot = float(add_dot)
+    kernel, params, add_dot = canon_kernel(kernel, params, add_dot)
 
     @jax.custom_vjp
     def row_stats(a, b):
@@ -509,8 +523,7 @@ def make_pair_sum(kernel: str, params: Sequence[float], exclude_diag: bool,
     backward tiling; when a and b are the same tensor the two argument
     cotangents add up to the correct factor-4 pair gradient.
     """
-    params = tuple(float(p) for p in params)
-    add_dot = float(add_dot)
+    kernel, params, add_dot = canon_kernel(kernel, params, add_dot)
 
     @jax.custom_vjp
     def pair_sum(a, b):

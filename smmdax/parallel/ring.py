@@ -29,12 +29,13 @@ from smmdax.kernels.mmd import (MMDSums, VarStats, mmd2_and_variance_from_stats,
 Array = jnp.ndarray
 
 # Kernels the ring estimators (and their fused Pallas block paths)
-# support.  The mixtures have constant diagonals; the rq+add_dot
-# (mix_rq_dot) variant's data-dependent diagonal k(x,x) = const +
-# w*||x||^2 is handled explicitly (masked exclusion / computed traces /
-# psum'd norm sums), so it rides every ring path too.  Only the pure
-# dot kernel stays dense.
-RING_KERNELS = ("gaussian", "rq", "distance")
+# support — the full loss-surface set.  The mixtures have constant
+# diagonals; data-dependent diagonals (the rq+add_dot mix_rq_dot
+# variant's const + w*||x||^2, and the pure dot kernel's ||x||^2) are
+# handled explicitly (masked exclusion / computed traces / psum'd norm
+# sums).  "dot" canonicalizes to the empty mixture + add_dot=1
+# (pallas.mmd_kernel.canon_kernel), so it shares every code path.
+RING_KERNELS = ("gaussian", "rq", "distance", "dot")
 
 
 def _block_sum(name: str, a: Array, b: Array, exclude_diag: bool,
@@ -167,6 +168,10 @@ def ring_var_stats(x_loc: Array, y_loc: Array, axis_name: str,
     """
     if x_loc.shape[0] != y_loc.shape[0]:
         raise ValueError("t-ratio variance estimator requires m == n")
+    if kernel == "dot":
+        # the canonical empty-mixture form (canon_kernel): const diag 0,
+        # the whole kernel rides the add_dot machinery below
+        kernel, rq_alphas, add_dot = "rq", (), 1.0
     n_shards = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     diag = _const_diag(kernel, rbf_sigmas, rq_alphas)

@@ -450,6 +450,23 @@ def jit_train_step_device_data(cfg: Config, dsteps: int, gsteps: int,
     measured flat-RSS in /tmp/leak_probe runs.  The index stream is
     threefry-keyed on device, so it deliberately does NOT bit-match
     the host pipeline's numpy stream; both are deterministic.
+
+    On a mesh, ``cfg.device_data_sharding`` picks the pool layout:
+
+    * ``replicated`` (default) — every chip holds the whole pool; the
+      gather is a plain GSPMD program and (at K=1) matches the
+      single-device step bit-for-bit (tested).  Right for CIFAR-scale
+      pools (~150 MB).
+    * ``sharded`` — the pool is partitioned over the mesh's data axis
+      (each chip holds pool/n samples; ImageNet64-scale pools ~15 GB
+      fit across 8 chips where replication cannot).  Each shard draws
+      its B/n batch rows from its OWN slice via a shard_map gather —
+      indices never cross shards, so there is no collective in the
+      data path; the global batch is the concatenation of per-shard
+      draws, whose marginal is uniform over the whole pool (equal-size
+      shards).  The index stream is per-shard (axis_index folded in),
+      so this mode is NOT bit-comparable to the replicated one —
+      deterministic and resume-exact all the same.
     """
     per_step = dsteps + gsteps
     nb = cfg.real_batch_size
@@ -457,14 +474,42 @@ def jit_train_step_device_data(cfg: Config, dsteps: int, gsteps: int,
     if mesh is not None and len(mesh.devices.flat) > 1:
         base = jit_train_step(cfg, dsteps, gsteps, mesh=mesh, mode=mode,
                               steps_per_dispatch=steps_per_dispatch)
+        k = steps_per_dispatch
+
+        if cfg.device_data_sharding == "sharded":
+            from jax.experimental.shard_map import shard_map
+            n = len(mesh.devices.flat)
+            if nb % n:
+                raise ValueError(
+                    f"device_data_sharding=sharded needs real_batch_size "
+                    f"divisible by the mesh ({nb} vs {n} shards)")
+            nb_local = nb // n
+            local = ((per_step, nb_local) if k == 1
+                     else (k, per_step, nb_local))
+            out_spec = P(None, "data") if k == 1 else P(None, None, "data")
+
+            def local_gather(rng, pool_shard):
+                r = jax.random.fold_in(
+                    jax.random.fold_in(rng, 0x0DA7A0D1),
+                    jax.lax.axis_index("data"))
+                idx = jax.random.randint(r, local, 0, pool_shard.shape[0])
+                return pool_shard[idx]
+
+            gathered = shard_map(local_gather, mesh=mesh,
+                                 in_specs=(P(), P("data")),
+                                 out_specs=out_spec)
+
+            def sharded_step(state: TrainState, data: Array):
+                return base(state, gathered(state.rng, data))
+
+            return jax.jit(sharded_step, donate_argnums=(0,))
 
         def gather_multi(state: TrainState, data: Array):
             # multi-device path draws the whole dispatch's indices from
             # one fold (mirrors jit_train_step_on_device's mesh path;
             # K>1 is therefore not bit-identical to K=1 here)
             rng = jax.random.fold_in(state.rng, 0x0DA7A0D1)
-            full = ((per_step, nb) if steps_per_dispatch == 1
-                    else (steps_per_dispatch, per_step, nb))
+            full = ((per_step, nb) if k == 1 else (k, per_step, nb))
             idx = jax.random.randint(rng, full, 0, data.shape[0])
             return base(state, data[idx])
 

@@ -271,13 +271,24 @@ class Trainer:
                     f"offers neither")
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
+                n = len(self.mesh.devices.flat)
+                if cfg.device_data_sharding == "sharded" and n > 1:
+                    # equal shards: drop the <n-sample remainder so every
+                    # chip's slice (and thus the uniform marginal of the
+                    # per-shard draws) has the same size
+                    arr = arr[: (arr.shape[0] // n) * n]
+                    spec = PartitionSpec("data")
+                else:
+                    spec = PartitionSpec()
                 self._dev_data = jax.device_put(
-                    arr, NamedSharding(self.mesh, PartitionSpec()))
+                    arr, NamedSharding(self.mesh, spec))
             else:
                 self._dev_data = jax.device_put(arr)
             mb = arr.nbytes / 2**20
+            layout = (cfg.device_data_sharding if self.mesh is not None
+                      else "single-chip")
             print(f"[smmdax] device-resident dataset: {arr.shape[0]} "
-                  f"samples, {mb:.0f} MB uploaded once")
+                  f"samples, {mb:.0f} MB uploaded once ({layout})")
 
         def _on_term(signum, frame):
             self._preempted = True

@@ -171,6 +171,69 @@ def test_device_data_gspmd_matches_single_device(tmp_path):
                                    rtol=5e-3, atol=1e-4)
 
 
+def test_device_data_sharded_pool(tmp_path):
+    """device_data_sharding=sharded partitions the pool over the data
+    axis (each chip holds pool/n rows — the HBM-scaling layout) and
+    each shard gathers its B/n batch rows from its own slice.  Pins:
+    per-device shard size, determinism, sensitivity to the pool
+    contents, and a distinct stream from the replicated layout."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from smmdax.train import create_state, jit_train_step_device_data, make_mesh
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    cfg = _cfg(str(tmp_path), batch_size=16, real_batch_size=16).replace(
+        num_data_shards=8, device_data_sharding="sharded")
+    rng = np.random.default_rng(5)
+    pool_a = rng.integers(0, 256, (64, 32, 32, 3), np.uint8)
+    pool_b = rng.integers(0, 256, (64, 32, 32, 3), np.uint8)
+
+    def run(pool_np, sharding="sharded"):
+        c = cfg.replace(device_data_sharding=sharding)
+        spec = PartitionSpec("data") if sharding == "sharded" \
+            else PartitionSpec()
+        pool = jax.device_put(jnp.asarray(pool_np),
+                              NamedSharding(mesh, spec))
+        if sharding == "sharded":
+            assert pool.addressable_shards[0].data.shape[0] == 8
+        state = create_state(c, jax.random.PRNGKey(0))
+        fn = jit_train_step_device_data(c, 1, 1, mesh=mesh)
+        state, metrics = fn(state, pool)
+        assert int(state.step) == 1
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)
+        return float(metrics["critic_real"])
+
+    assert run(pool_a) == run(pool_a)              # deterministic
+    assert run(pool_a) != run(pool_b)              # reads the pool
+    # per-shard index streams => a different (valid) batch draw than
+    # the replicated layout's global stream
+    assert run(pool_a) != run(pool_a, sharding="replicated")
+
+
+def test_device_data_sharded_batch_divisibility(tmp_path):
+    from smmdax.train import jit_train_step_device_data, make_mesh
+
+    cfg = _cfg(str(tmp_path), batch_size=12, real_batch_size=12).replace(
+        num_data_shards=8, device_data_sharding="sharded")
+    with pytest.raises(ValueError, match="divisible"):
+        jit_train_step_device_data(cfg, 1, 1, mesh=make_mesh(8))
+
+
+def test_device_data_sharded_trainer_end_to_end(tmp_path):
+    """Trainer wiring: pool truncated to a multiple of the mesh,
+    placed P('data'), training runs to completion."""
+    cfg = _cfg(str(tmp_path), batch_size=16, real_batch_size=16,
+               device_data_pool=67,          # truncates to 64 on 8 shards
+               max_iteration=3).replace(
+        num_data_shards=8, device_data_sharding="sharded")
+    t = Trainer(cfg)
+    state = t.train()
+    assert int(state.step) == 3
+    assert t._dev_data.shape[0] == 64
+    assert t._dev_data.addressable_shards[0].data.shape[0] == 8
+
+
 # ---------------------------------------------------------------------------
 # RSS watchdog
 

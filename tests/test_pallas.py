@@ -24,7 +24,8 @@ def pallas_interpret():
 
 CASES = [("gaussian", (1.0, 2.0, 4.0, 8.0, 16.0)),
          ("rq", (0.2, 0.5, 1.0, 2.0, 5.0)),
-         ("distance", ())]      # energy-distance kernel, no mixture params
+         ("distance", ()),      # energy-distance kernel, no mixture params
+         ("dot", ())]           # pure dot kernel (empty-mixture canon form)
 
 
 @pytest.mark.parametrize("kernel,params", CASES)

@@ -35,12 +35,13 @@ def test_auto_uses_size_crossover_on_accelerators():
     assert not should_use_pallas("auto", "rq", 10**6, 10**6, platform="cpu")
 
 
-def test_unsupported_kernels_never_dispatch():
-    # dot has a data-dependent diagonal and no fused path; distance IS
-    # supported (energy-distance, constant diagonal)
-    for mode in ("on", "auto"):
-        assert not should_use_pallas(mode, "dot", 10**6, 10**6, platform="tpu")
-    assert should_use_pallas("on", "distance", 64, 64, platform="tpu")
+def test_every_loss_kernel_dispatches():
+    # the full loss-surface kernel set rides the fused path: the
+    # mixtures, energy-distance, and (via the empty-mixture canonical
+    # form) the pure dot kernel's data-dependent diagonal
+    for kernel in ("gaussian", "rq", "distance", "dot"):
+        assert should_use_pallas("on", kernel, 64, 64, platform="tpu")
+    assert not should_use_pallas("on", "nope", 64, 64, platform="tpu")
 
 
 def test_unknown_mode_raises():

@@ -22,7 +22,7 @@ def _mesh():
     return Mesh(np.array(jax.devices()[:N_DEV]), ("data",))
 
 
-@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance"])
+@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance", "dot"])
 @pytest.mark.parametrize("biased", [False, True])
 def test_ring_matches_global(kernel, biased):
     assert jax.device_count() >= N_DEV
@@ -73,7 +73,7 @@ def test_ring_gradients_match_global():
                                rtol=5e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance"])
+@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance", "dot"])
 def test_ring_with_pallas_blocks_matches_global(kernel):
     """Ring + fused Pallas pair-sums (interpret mode) == dense global,
     in value and gradient."""
@@ -107,7 +107,7 @@ def test_ring_with_pallas_blocks_matches_global(kernel):
         pk._INTERPRET = old
 
 
-@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance"])
+@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance", "dot"])
 def test_ring_ratio_matches_global(kernel):
     """Ring-form t-ratio (mmd2 AND Sutherland variance from psum'd
     sufficient stats) == dense single-device estimator, value + grad."""
@@ -144,7 +144,7 @@ def test_ring_ratio_matches_global(kernel):
                                rtol=1e-3, atol=2e-5)
 
 
-@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance"])
+@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance", "dot"])
 def test_pair_stats_matches_dense(kernel):
     """Fused pair-stats (row sums / col sums / sum-of-squares) == dense
     oracle, value AND gradient, with and without diagonal exclusion."""
@@ -285,7 +285,7 @@ def test_ring_ratio_add_dot_matches_global(use_pallas):
         pk._INTERPRET = old
 
 
-@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance"])
+@pytest.mark.parametrize("kernel", ["gaussian", "rq", "distance", "dot"])
 def test_ring_ratio_with_pallas_stats_matches_global(kernel):
     """Ring t-ratio through the fused pair-stats kernel == dense
     single-device estimator, value + grad (tmmd under DP, Gram-free)."""
