@@ -72,20 +72,6 @@ PEAK_FLOPS = {
 }
 
 
-def _flops_per_step(step, *example_args) -> float | None:
-    """XLA cost-analysis FLOPs of one compiled program (f32-equiv)."""
-    try:
-        compiled = step.lower(*example_args).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):          # older jax returns [dict]
-            ca = ca[0] if ca else {}
-        flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
-    except Exception as e:                          # backend w/o cost analysis
-        print(f"# cost_analysis unavailable: {e!r}")
-        return None
-
-
 def _flagship_cfg(batch_size: int = 64, k: int = 1):
     from smmdax.configs import Config
     # Production configuration: every headline feature on (spectral
@@ -122,19 +108,18 @@ class _Harness:
         self._flops = None
 
     def flops_per_macro_step_k1(self) -> float | None:
-        """FLOPs of ONE macro-step, measured on an (unscanned) K=1
-        lowering of the same config: XLA cost analysis counts a scanned
-        body ONCE regardless of trip count, so lowering the K-program
-        would undercount by ~k."""
+        """FLOPs of ONE macro-step via the unrolled straight-line
+        oracle (smmdax.train.macro_step_flops): XLA cost analysis
+        counts a scan body ONCE regardless of trip count, so both the
+        K-dispatch scan AND the inner dsteps/gsteps alternation scans
+        undercount — the production lowering reports ~1 d-update + 1
+        g-update (~3x low at 5d+1g).  Rounds 1-2 (and the first
+        round-3 readings) used the scanned lowering; their MFU rows
+        are corrected in BASELINE.md."""
         if self._flops is None:
-            from smmdax.train import create_state, jit_train_step
+            from smmdax.train import macro_step_flops
             cfg1 = self.cfg.replace(steps_per_dispatch=1)
-            step1 = jit_train_step(cfg1, cfg1.dsteps, cfg1.gsteps)
-            state1 = create_state(cfg1, jax.random.PRNGKey(0))
-            flat = self.source.batch_u8(self.per_step * cfg1.batch_size, key=0)
-            b = jnp.asarray(flat.reshape((self.per_step, cfg1.batch_size)
-                                         + flat.shape[1:]))
-            self._flops = _flops_per_step(step1, state1, b)
+            self._flops = macro_step_flops(cfg1, cfg1.dsteps, cfg1.gsteps)
         return self._flops
 
     def make_u8(self, dispatch_idx: int) -> np.ndarray:
@@ -252,9 +237,9 @@ def _measure_on_device_sweep(batch_size: int, k: int) -> dict:
     med = statistics.median(ips)
     out = {"images_per_sec": round(med, 2),
            "windows": [round(w, 1) for w in ips]}
-    h = _Harness(batch_size, 1)          # flops oracle (K=1 lowering)
-    flops = h.flops_per_macro_step_k1()
-    del h
+    from smmdax.train import macro_step_flops
+    flops = macro_step_flops(cfg.replace(steps_per_dispatch=1),
+                             cfg.dsteps, cfg.gsteps)
     dev = jax.devices()[0]
     peak = PEAK_FLOPS.get(dev.device_kind)
     if flops is not None and peak is not None:
@@ -306,9 +291,9 @@ def _measure_device_resident(batch_size: int, k: int,
            "min": round(min(ips), 2), "max": round(max(ips), 2),
            "pool_samples": pool,
            "final_mmd2": round(float(metrics["d_loss_mmd2"]), 5)}
-    h = _Harness(batch_size, 1)          # flops oracle (K=1 lowering)
-    flops = h.flops_per_macro_step_k1()
-    del h
+    from smmdax.train import macro_step_flops
+    flops = macro_step_flops(cfg.replace(steps_per_dispatch=1),
+                             cfg.dsteps, cfg.gsteps)
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
     if flops is not None and peak is not None:
         tfs = flops * (med / (per_step * cfg.batch_size)) / 1e12

@@ -275,6 +275,63 @@ def build_train_step(cfg: Config, dsteps: int, gsteps: int,
     return train_step
 
 
+def macro_step_flops(cfg: Config, dsteps: int, gsteps: int) -> Optional[float]:
+    """FLOPs of ONE macro-step (``dsteps`` critic + ``gsteps`` generator
+    updates) for MFU accounting.
+
+    XLA's HLO cost analysis counts a while/scan body ONCE regardless of
+    trip count (measured: dsteps=1/2/5 lowerings of the production
+    scanned step report IDENTICAL flops), so analysing the production
+    program undercounts the d/g alternation roughly
+    (dsteps*d_flops + gsteps*g_flops)/(d_flops + g_flops)-fold — ~3x at
+    the flagship 5d+1g.  This oracle re-expresses the same macro-step
+    math as a straight-line Python-unrolled program and reads ITS cost
+    analysis from the lowered IR (abstract args — nothing is compiled
+    or executed).  Returns None where the backend offers no analysis.
+
+    Accounting basis: pre-optimization IR.  Measured against the
+    compiled (post-optimization) analysis of the same unrolled program
+    on a tiny flagship-shaped config: +2.6% (5.32e10 vs 5.18e10), i.e.
+    MFU figures derived from this oracle carry a <~3% optimistic bound
+    from not-yet-eliminated dead code — far below the ~3x undercount
+    this oracle exists to fix.
+    """
+    gen, disc = build_models(cfg)
+    adam = _adam(cfg)
+
+    def unrolled(state: TrainState, real: Array):
+        from smmdax.data.transforms import normalize_uint8
+        real = normalize_uint8(real)
+        rng, *step_rngs = jax.random.split(state.rng, 1 + dsteps + gsteps)
+        state = state.replace(rng=rng)
+        d_aux = g_aux = None
+        for i in range(dsteps):
+            state, d_aux = _d_update(cfg, gen, disc, adam, state,
+                                     real[i], step_rngs[i])
+        for j in range(gsteps):
+            state, g_aux = _g_update(cfg, gen, disc, adam, state,
+                                     real[dsteps + j], step_rngs[dsteps + j])
+        state = state.replace(step=state.step + 1)
+        return state, (d_aux.mmd2, g_aux.mmd2)
+
+    state = jax.eval_shape(lambda k: create_state(cfg, k),
+                           jax.random.PRNGKey(0))
+    batch = jax.ShapeDtypeStruct(
+        (dsteps + gsteps, cfg.real_batch_size) + cfg.image_shape, jnp.uint8)
+    try:
+        lowered = jax.jit(unrolled).lower(state, batch)
+        try:
+            ca = lowered.cost_analysis()
+        except Exception:
+            ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):          # older jax returns [dict]
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
 def enable_compilation_cache(path: str = "~/.cache/smmdax_xla") -> None:
     """Persistent XLA compilation cache: first compile through the
     remote-compile tunnel costs minutes; subsequent processes reuse the

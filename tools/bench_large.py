@@ -77,13 +77,28 @@ def _measure_on_device(cfg, windows: int, steps_per_window: int) -> dict:
         float(metrics["d_loss_mmd2"])
         times.append((time.time() - t0) / steps_per_window)
     med = statistics.median(times)
-    return {
+    out = {
         "macro_step_ms": round(med * 1e3, 1),
         "images_per_sec": round(per_step * cfg.batch_size / med, 1),
         "window_ms": [round(t * 1e3, 1) for t in times],
         "spread_pct": round(100 * (max(times) - min(times)) / med, 1),
         "compile_s": round(compile_s, 1),
     }
+    # MFU via the unrolled FLOPs oracle (scan bodies are counted once
+    # by XLA cost analysis — see smmdax.train.macro_step_flops)
+    from smmdax.train import macro_step_flops
+    flops = macro_step_flops(cfg.replace(on_device_data=False),
+                             cfg.dsteps, cfg.gsteps)
+    if flops:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from bench import PEAK_FLOPS
+        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+        out["tflops_per_step"] = round(flops / 1e12, 3)
+        out["tflops_per_sec"] = round(flops / med / 1e12, 2)
+        if peak:
+            out["mfu"] = round(flops / med / peak, 4)
+    return out
 
 
 def _measure_tunneled(cfg, windows: int, steps_per_window: int) -> dict:

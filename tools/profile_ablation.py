@@ -53,8 +53,7 @@ def _ablations(batch: int):
 
 
 def _time_step(cfg, windows: int = 3, steps: int = 10):
-    from smmdax.train import (create_state, jit_train_step,
-                              jit_train_step_on_device)
+    from smmdax.train import create_state, jit_train_step_on_device
     state = create_state(cfg, jax.random.PRNGKey(0))
     step = jit_train_step_on_device(cfg, cfg.dsteps, cfg.gsteps)
     for _ in range(2):
@@ -69,22 +68,13 @@ def _time_step(cfg, windows: int = 3, steps: int = 10):
         float(metrics["d_loss_mmd2"])
         times.append((time.time() - t0) / steps)
     med = statistics.median(times)
-    # FLOPs from a K=1 host-fed lowering of the same config (the
-    # on-device program adds only the RNG synthesis)
-    flops = None
-    try:
-        import numpy as np
-        cfg1 = cfg.replace(on_device_data=False)
-        s1 = jit_train_step(cfg1, cfg1.dsteps, cfg1.gsteps)
-        st1 = create_state(cfg1, jax.random.PRNGKey(0))
-        shape = (cfg.dsteps + cfg.gsteps, cfg.real_batch_size) + cfg.image_shape
-        b = jnp.asarray(np.zeros(shape, np.float32))
-        ca = s1.lower(st1, b).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] if ca else {}
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    # FLOPs via the unrolled straight-line oracle: the production
+    # lowering lax.scans the d/g alternation and XLA cost analysis
+    # counts scan bodies once, undercounting ~3x at 5d+1g (the
+    # on-device program differs only by the RNG batch synthesis)
+    from smmdax.train import macro_step_flops
+    flops = macro_step_flops(cfg.replace(on_device_data=False),
+                             cfg.dsteps, cfg.gsteps)
     return med, flops
 
 
