@@ -318,16 +318,38 @@ def macro_step_flops(cfg: Config, dsteps: int, gsteps: int) -> Optional[float]:
                            jax.random.PRNGKey(0))
     batch = jax.ShapeDtypeStruct(
         (dsteps + gsteps, cfg.real_batch_size) + cfg.image_shape, jnp.uint8)
-    try:
-        lowered = jax.jit(unrolled).lower(state, batch)
-        try:
-            ca = lowered.cost_analysis()
-        except Exception:
-            ca = lowered.compile().cost_analysis()
+
+    def _flops_of(ca) -> Optional[float]:
         if isinstance(ca, (list, tuple)):          # older jax returns [dict]
             ca = ca[0] if ca else {}
+        if not ca:
+            return None
         flops = float(ca.get("flops", 0.0))
         return flops if flops > 0 else None
+
+    # Analysis sources, cheapest first.  On the remote-TPU (axon)
+    # backend the LOWERED analysis returns None (measured) while the
+    # COMPILED one works but costs a multi-minute tunnel compile — so
+    # in between, try a CPU lowering of the same program: pre-opt flop
+    # counting is platform-agnostic (verified identical to the
+    # compiled-TPU count on a matmul probe) and needs no compile.
+    try:
+        flops = _flops_of(jax.jit(unrolled).lower(state, batch)
+                          .cost_analysis())
+        if flops is not None:
+            return flops
+    except Exception:
+        pass
+    try:
+        flops = _flops_of(jax.jit(unrolled, backend="cpu")
+                          .lower(state, batch).cost_analysis())
+        if flops is not None:
+            return flops
+    except Exception:
+        pass
+    try:
+        return _flops_of(jax.jit(unrolled).lower(state, batch)
+                         .compile().cost_analysis())
     except Exception:
         return None
 
