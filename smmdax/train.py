@@ -114,10 +114,12 @@ def _critic_fn(disc, d_params, d_spectral,
     fn = lambda x: disc.apply(variables, x, update_sn=False)
     if remat:
         # trade HBM for FLOPs: recompute the conv stack in backward
-        # passes instead of storing activations — the double-backprop
-        # paths (witness GP / SMMD sigma) otherwise hold several full
-        # activation sets at 160px (jax.checkpoint composes with
-        # higher-order AD)
+        # passes instead of storing activations (jax.checkpoint
+        # composes with higher-order AD for the witness-GP / SMMD-σ
+        # double-backprop paths).  Measured on v5e-16GB: B=64 fits
+        # WITHOUT remat even at 160px and recompute costs ~30% wall
+        # (110.3→84.9 ms at 64px, 358.5→276.6 at 160px) — enable only
+        # when a config actually OOMs
         fn = jax.checkpoint(fn)
     return fn
 

@@ -39,16 +39,28 @@ def _configs():
                   compute_dtype="bfloat16",
                   scaling_grad_estimator="hutchinson")
     return {
-        # ImageNet-64 shapes (BASELINE.md round-2 row: 256 ms tunneled)
+        # ImageNet-64 shapes (BASELINE.md round-2 row: 256 ms tunneled).
+        # remat measured PURE WASTE at B=64 on v5e-16GB: activations
+        # fit, and recompute costs ~30% (110.3 -> 84.9 ms) — remat
+        # variants kept as rows so the tradeoff stays measured.
         "resnet64_b64": Config(architecture="resnet", output_size=64,
                                batch_size=64, real_batch_size=64,
-                               dof_dim=16, remat=True, **common),
+                               dof_dim=16, remat=False, **common),
+        "resnet64_b64_remat": Config(architecture="resnet", output_size=64,
+                                     batch_size=64, real_batch_size=64,
+                                     dof_dim=16, remat=True, **common),
         # the paper's deepest config — CelebA 160x160 deep resnet
-        # (BASELINE.md: 377 ms r1 vs 1045-1079 ms r2, same config)
+        # (BASELINE.md: 377 ms r1 vs 1045-1079 ms r2, same config);
+        # also fits WITHOUT remat at B=64 (358.5 -> 276.6 ms)
         "celeba160_b64": Config(architecture="resnet", output_size=160,
                                 batch_size=64, real_batch_size=64,
                                 gf_dim=32, df_dim=32, dof_dim=16,
-                                remat=True, **common),
+                                remat=False, **common),
+        "celeba160_b64_remat": Config(architecture="resnet",
+                                      output_size=160,
+                                      batch_size=64, real_batch_size=64,
+                                      gf_dim=32, df_dim=32, dof_dim=16,
+                                      remat=True, **common),
     }
 
 
