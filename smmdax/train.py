@@ -298,6 +298,12 @@ def macro_step_flops(cfg: Config, dsteps: int, gsteps: int) -> Optional[float]:
     from not-yet-eliminated dead code — far below the ~3x undercount
     this oracle exists to fix.
     """
+    # Force the dense loss path: a pallas_call lowers to an opaque
+    # custom call that cost analysis scores as 0 FLOPs (silently
+    # undercounting exactly the big-batch configs), and Mosaic kernels
+    # cannot lower for the CPU-fallback attempt below.  The dense path
+    # computes the same math, which is what MFU should charge for.
+    cfg = cfg.replace(use_pallas="off")
     gen, disc = build_models(cfg)
     adam = _adam(cfg)
 
@@ -343,12 +349,19 @@ def macro_step_flops(cfg: Config, dsteps: int, gsteps: int) -> Optional[float]:
     except Exception:
         pass
     try:
+        # NOTE: jit's backend= kwarg is deprecated (warns on jax 0.9);
+        # kept because it is the only public no-compile way to get a
+        # CPU cost analysis today (trace().lower(lowering_platforms=
+        # ('cpu',)).cost_analysis() returns None — measured).  If a
+        # jax upgrade removes the kwarg, we fall through LOUDLY below.
         flops = _flops_of(jax.jit(unrolled, backend="cpu")
                           .lower(state, batch).cost_analysis())
         if flops is not None:
             return flops
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"# macro_step_flops: CPU-lowering fallback failed ({e!r:.120}); "
+              "falling back to a FULL compile for cost analysis — "
+              "minutes per config on a tunneled TPU")
     try:
         return _flops_of(jax.jit(unrolled).lower(state, batch)
                          .compile().cost_analysis())

@@ -38,17 +38,14 @@ def _configs():
                   random_seed=0, dsteps=5, gsteps=1,
                   compute_dtype="bfloat16",
                   scaling_grad_estimator="hutchinson")
-    return {
+    base = {
         # ImageNet-64 shapes (BASELINE.md round-2 row: 256 ms tunneled).
         # remat measured PURE WASTE at B=64 on v5e-16GB: activations
-        # fit, and recompute costs ~30% (110.3 -> 84.9 ms) — remat
-        # variants kept as rows so the tradeoff stays measured.
+        # fit, and recompute costs ~30% (110.3 -> 84.9 ms) — derived
+        # *_remat variants keep the tradeoff measured.
         "resnet64_b64": Config(architecture="resnet", output_size=64,
                                batch_size=64, real_batch_size=64,
                                dof_dim=16, remat=False, **common),
-        "resnet64_b64_remat": Config(architecture="resnet", output_size=64,
-                                     batch_size=64, real_batch_size=64,
-                                     dof_dim=16, remat=True, **common),
         # the paper's deepest config — CelebA 160x160 deep resnet
         # (BASELINE.md: 377 ms r1 vs 1045-1079 ms r2, same config);
         # also fits WITHOUT remat at B=64 (358.5 -> 276.6 ms)
@@ -56,12 +53,11 @@ def _configs():
                                 batch_size=64, real_batch_size=64,
                                 gf_dim=32, df_dim=32, dof_dim=16,
                                 remat=False, **common),
-        "celeba160_b64_remat": Config(architecture="resnet",
-                                      output_size=160,
-                                      batch_size=64, real_batch_size=64,
-                                      gf_dim=32, df_dim=32, dof_dim=16,
-                                      remat=True, **common),
     }
+    # derive, never copy: a shape tweak to a base config must not
+    # desynchronize its remat pair (the delta IS the measurement)
+    return {**base, **{f"{name}_remat": cfg.replace(remat=True)
+                       for name, cfg in base.items()}}
 
 
 def _measure_on_device(cfg, windows: int, steps_per_window: int) -> dict:
@@ -176,12 +172,14 @@ def main(argv=None) -> None:
     for name, cfg in _configs().items():
         if a.configs and name not in a.configs:
             continue
-        on_dev = _measure_on_device(cfg, windows, spw)
-        tun = _measure_tunneled(cfg, windows, spw)
-        print(json.dumps({
-            "config": name, "device": dev.device_kind,
-            "on_device_data": on_dev, "tunneled_u8": tun,
-        }))
+        row = {"config": name, "device": dev.device_kind,
+               "on_device_data": _measure_on_device(cfg, windows, spw)}
+        # remat changes on-chip recompute, not the uint8 transfer: the
+        # tunneled arm would duplicate the base config's link row at
+        # minutes-per-row cost, so only base configs measure it
+        if not name.endswith("_remat"):
+            row["tunneled_u8"] = _measure_tunneled(cfg, windows, spw)
+        print(json.dumps(row))
         sys.stdout.flush()
 
 

@@ -92,6 +92,8 @@ def main(argv=None) -> None:
     p.add_argument("--passes", type=int, default=3,
                    help="interleaved timing passes over all configs")
     a = p.parse_args(argv)
+    if a.passes < 1:
+        p.error("--passes must be >= 1")
     from smmdax.train import enable_compilation_cache
     enable_compilation_cache()
     dev = jax.devices()[0]
