@@ -74,13 +74,16 @@ class RandomConvFeatures:
                 x = jax.nn.leaky_relu(x, 0.2)
         return jnp.mean(x, axis=(1, 2))
 
-    def __call__(self, images: Array) -> Array:
-        images = np.asarray(images, np.float32)
+    def __call__(self, images) -> Array:
+        # device arrays stay on device (no host round-trip: the trainer
+        # feeds generator output directly; only features come back)
+        if not isinstance(images, jax.Array):
+            images = np.asarray(images, np.float32)
         if self._params is None:
             self._init(images.shape[-1])
         outs = []
         for i in range(0, len(images), self.batch):
-            chunk = jnp.asarray(images[i:i + self.batch])
+            chunk = jnp.asarray(images[i:i + self.batch], jnp.float32)
             outs.append(np.asarray(self._apply(self._params, chunk)))
         return np.concatenate(outs).astype(np.float32)
 

@@ -4,12 +4,19 @@ Math sources: Heusel et al. 2017 (FID), Binkowski et al. 2018
 arXiv:1801.01401 (KID — this reference lineage is its original
 implementation, SURVEY.md #10), Salimans et al. 2016 (IS).
 
-All of this runs on host-side feature arrays (numpy): scoring is
-offline/interval work, not the hot path; the device work is the
-feature extraction (smmdax.eval.features).  ``sqrtm`` of the covariance
-product is computed by eigendecomposition of the symmetrized product
-S1^(1/2) S2 S1^(1/2) — no scipy needed, numerically stable for the
-near-singular covariances Inception features produce.
+FID (one eigendecomposition) runs on host numpy.  The subset-averaged
+statistics — KID and both three-sample tests — are matmul-dominated
+(hundreds of m x m polynomial Gram blocks per scoring event) and
+dispatch to a jitted device sweep when JAX's default backend is an
+accelerator (``backend="auto"``): measured 56 s of host f64 numpy per
+scoring event at the default 50x1000 subsets vs ~1 s on the TPU.  The
+numpy arm (f64) remains the oracle — both arms draw IDENTICAL subset
+indices from the same RNG sequence and share one set of statistic
+formulas (written numpy/jnp-generically), so they differ only by f32
+Gram arithmetic; a parity test pins them together.  ``sqrtm`` of the
+covariance product is computed by eigendecomposition of the symmetrized
+product S1^(1/2) S2 S1^(1/2) — no scipy needed, numerically stable for
+the near-singular covariances Inception features produce.
 """
 
 from __future__ import annotations
@@ -72,18 +79,149 @@ def polynomial_mmd(x: Array, y: Array, degree: int = 3, gamma: Optional[float] =
     return float(sum_xx + sum_yy - 2.0 * sum_xy)
 
 
+# ---------------------------------------------------------------------------
+# Device fast path for the subset sweeps
+#
+# KID and the three-sample tests average statistics over dozens of
+# random subsets; each subset costs several m x m polynomial Gram
+# blocks.  In f64 numpy that is ~56 s per scoring event at the default
+# 50x1000 (measured; it stalled training ~50% at the reference's
+# score_every=2000 cadence).  The device path runs the Gram blocks on
+# the accelerator (f32, Precision.HIGHEST) and fetches only O(m)
+# sufficient statistics per subset; all cancellation-sensitive
+# finishing math (U-statistic means, zeta covariance terms) stays in
+# f64 on host.  Both arms draw identical subset indices; a parity test
+# (tests/test_eval.py) pins the arms together.
+# ---------------------------------------------------------------------------
+
+
+def _resolve_backend(backend: str) -> str:
+    """'auto' -> 'jax' when JAX's default backend is an accelerator
+    (the training device), else 'numpy'."""
+    if backend == "auto":
+        try:
+            import jax
+            return "jax" if jax.default_backend() != "cpu" else "numpy"
+        except Exception:                            # pragma: no cover
+            return "numpy"
+    if backend not in ("numpy", "jax"):
+        raise ValueError(f"backend must be auto|numpy|jax, got {backend!r}")
+    return backend
+
+
+def _gram_dev(a, b):
+    """KID polynomial kernel block on device (f32 MXU matmul)."""
+    import jax
+    import jax.numpy as jnp
+    d = a.shape[-1]
+    prod = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
+    return (prod / d + 1.0) ** 3
+
+
+def _kid_scan(real, fake, idx_r, idx_f):
+    """Per-subset (sum k_xx offdiag, sum k_yy offdiag, sum k_xy)."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(carry, ix_iy):
+        ix, iy = ix_iy
+        x, y = real[ix], fake[iy]
+        k_xx, k_yy, k_xy = _gram_dev(x, x), _gram_dev(y, y), _gram_dev(x, y)
+        return carry, (k_xx.sum() - jnp.trace(k_xx),
+                       k_yy.sum() - jnp.trace(k_yy), k_xy.sum())
+
+    return jax.lax.scan(one, 0, (idx_r, idx_f))[1]
+
+
+def _vote_scan(ref, a, b, idx_x, idx_y, idx_z):
+    """Per-subset sums for MMD^2(r,a) and MMD^2(r,b) with a shared
+    k_rr block (the numpy arm computes k_rr twice; same value)."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(carry, idx):
+        ix, iy, iz = idx
+        r, ya, yb = ref[ix], a[iy], b[iz]
+        k_rr = _gram_dev(r, r)
+        s_rr = k_rr.sum() - jnp.trace(k_rr)
+        k_aa, k_bb = _gram_dev(ya, ya), _gram_dev(yb, yb)
+        return carry, (s_rr,
+                       k_aa.sum() - jnp.trace(k_aa), _gram_dev(r, ya).sum(),
+                       k_bb.sum() - jnp.trace(k_bb), _gram_dev(r, yb).sum())
+
+    return jax.lax.scan(one, 0, (idx_x, idx_y, idx_z))[1]
+
+
+def _rel_scan(ref, a, b, idx_x, idx_y, idx_z):
+    """Per-subset O(m) sufficient statistics for the Bounliphone
+    diff/variance: block sums, row/col sums, and (h^2).sum()."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(carry, idx):
+        ix, iy, iz = idx
+        x, y, z = ref[ix], a[iy], b[iz]
+        k_yy = _gram_dev(y, y)
+        k_zz = _gram_dev(z, z)
+        k_xy = _gram_dev(x, y)
+        k_xz = _gram_dev(x, z)
+        k_yy_nd = k_yy - jnp.diag(jnp.diagonal(k_yy))
+        k_zz_nd = k_zz - jnp.diag(jnp.diagonal(k_zz))
+        h = k_yy_nd - k_zz_nd - k_xy.T - k_xy + k_xz + k_xz.T
+        return carry, (k_yy_nd.sum(), k_zz_nd.sum(),
+                       k_xy.sum(), k_xz.sum(),
+                       k_yy_nd.sum(axis=0), k_zz_nd.sum(axis=0),
+                       k_xy.sum(axis=1), k_xz.sum(axis=1),
+                       k_xy.sum(axis=0), k_xz.sum(axis=0),
+                       (h ** 2).sum())
+
+    return jax.lax.scan(one, 0, (idx_x, idx_y, idx_z))[1]
+
+
+_JITTED = {}
+
+
+def _jitted(fn):
+    import jax
+    if fn.__name__ not in _JITTED:
+        _JITTED[fn.__name__] = jax.jit(fn)
+    return _JITTED[fn.__name__]
+
+
+def _to_dev(feats):
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(feats), jnp.float32)
+
+
+def _stack_idx(draws) -> "np.ndarray":
+    return np.stack(draws).astype(np.int32)
+
+
 def kid_from_features(feats_real: Array, feats_fake: Array,
                       subset_size: int = 1000, n_subsets: int = 50,
-                      seed: int = 0) -> Tuple[float, float]:
+                      seed: int = 0, backend: str = "auto") -> Tuple[float, float]:
     """KID: polynomial MMD^2 averaged over random subsets (the
     reference's ``polynomial_mmd_averages``).  Returns (mean, std)."""
     rng = np.random.default_rng(seed)
     m = min(subset_size, len(feats_real), len(feats_fake))
-    vals = np.empty(n_subsets)
-    for i in range(n_subsets):
-        xi = feats_real[rng.choice(len(feats_real), m, replace=False)]
-        yi = feats_fake[rng.choice(len(feats_fake), m, replace=False)]
-        vals[i] = polynomial_mmd(xi, yi)
+    idx_r, idx_f = [], []
+    for _ in range(n_subsets):
+        idx_r.append(rng.choice(len(feats_real), m, replace=False))
+        idx_f.append(rng.choice(len(feats_fake), m, replace=False))
+    if _resolve_backend(backend) == "jax":
+        s_xx, s_yy, s_xy = _jitted(_kid_scan)(
+            _to_dev(feats_real), _to_dev(feats_fake),
+            _stack_idx(idx_r), _stack_idx(idx_f))
+        s_xx = np.asarray(s_xx, np.float64)
+        s_yy = np.asarray(s_yy, np.float64)
+        s_xy = np.asarray(s_xy, np.float64)
+        vals = (s_xx / (m * (m - 1)) + s_yy / (m * (m - 1))
+                - 2.0 * s_xy / (m * m))
+    else:
+        vals = np.empty(n_subsets)
+        for i in range(n_subsets):
+            vals[i] = polynomial_mmd(feats_real[idx_r[i]],
+                                     feats_fake[idx_f[i]])
     return float(vals.mean()), float(vals.std())
 
 
@@ -137,40 +275,62 @@ def mmd_diff_var(k_yy: Array, k_zz: Array, k_xy: Array, k_xz: Array) -> float:
     r = k_zz.shape[0]
     k_yy_nd = k_yy - np.diag(np.diagonal(k_yy))
     k_zz_nd = k_zz - np.diag(np.diagonal(k_zz))
+    h = k_yy_nd - k_zz_nd - k_xy.T - k_xy + k_xz + k_xz.T
+    prim = (k_yy_nd.sum(), k_zz_nd.sum(), k_xy.sum(), k_xz.sum(),
+            k_yy_nd.sum(axis=0), k_zz_nd.sum(axis=0),
+            k_xy.sum(axis=1), k_xz.sum(axis=1),
+            k_xy.sum(axis=0), k_xz.sum(axis=0),
+            (h ** 2).sum())
+    return _rel_finish(prim, m, n, r)[1]
 
-    u_yy = k_yy_nd.sum() / (n * (n - 1))
-    u_zz = k_zz_nd.sum() / (r * (r - 1))
-    u_xy = k_xy.sum() / (m * n)
-    u_xz = k_xz.sum() / (m * r)
+
+def _rel_finish(prim, m: int, n: int, r: int) -> Tuple[float, float]:
+    """f64 host finishing of the Bounliphone (diff, variance) from the
+    O(m) sufficient statistics of the four Gram blocks (the _rel_scan /
+    mmd_diff_var primitives tuple).
+
+    Every Frobenius-sum of a matrix product in the textbook zeta_1
+    form collapses to an inner product of row/column sums —
+    sum_{k,l} (A^T B)_{kl} = sum_i rowsum_i(A) rowsum_i(B) — so given
+    the primitives the statistic is O(m), and the O(m^2)/O(m^3) Gram
+    work can run wherever it is cheapest (device or host) while the
+    cancellation-sensitive moment differences stay in f64 here.
+    """
+    (s_yy, s_zz, s_xy, s_xz, ry, rz, rx_y, rx_z, cy, cz, h2) = [
+        np.asarray(p, np.float64) for p in prim]
+
+    u_yy = float(s_yy) / (n * (n - 1))
+    u_zz = float(s_zz) / (r * (r - 1))
+    u_xy = float(s_xy) / (m * n)
+    u_xz = float(s_xz) / (m * r)
 
     # zeta_1 pieces: variances of the conditional expectations of each
-    # U-statistic kernel (row-sum inner products), then the covariances
-    # from the shared X sample
-    t1 = (1.0 / n ** 3) * (k_yy_nd.T @ k_yy_nd).sum() - u_yy ** 2
-    t2 = (1.0 / (n ** 2 * m)) * (k_xy.T @ k_xy).sum() - u_xy ** 2
-    t3 = (1.0 / (n * m ** 2)) * (k_xy @ k_xy.T).sum() - u_xy ** 2
-    t4 = (1.0 / r ** 3) * (k_zz_nd.T @ k_zz_nd).sum() - u_zz ** 2
-    t5 = (1.0 / (r * m ** 2)) * (k_xz @ k_xz.T).sum() - u_xz ** 2
-    t6 = (1.0 / (r ** 2 * m)) * (k_xz.T @ k_xz).sum() - u_xz ** 2
-    t7 = (1.0 / (n ** 2 * m)) * (k_yy_nd @ k_xy.T).sum() - u_yy * u_xy
-    t8 = (1.0 / (n * m * r)) * (k_xy.T @ k_xz).sum() - u_xy * u_xz
-    t9 = (1.0 / (r ** 2 * m)) * (k_zz_nd @ k_xz.T).sum() - u_zz * u_xz
+    # U-statistic kernel, then the covariances from the shared X sample
+    t1 = (1.0 / n ** 3) * (ry @ ry) - u_yy ** 2
+    t2 = (1.0 / (n ** 2 * m)) * (rx_y @ rx_y) - u_xy ** 2
+    t3 = (1.0 / (n * m ** 2)) * (cy @ cy) - u_xy ** 2
+    t4 = (1.0 / r ** 3) * (rz @ rz) - u_zz ** 2
+    t5 = (1.0 / (r * m ** 2)) * (cz @ cz) - u_xz ** 2
+    t6 = (1.0 / (r ** 2 * m)) * (rx_z @ rx_z) - u_xz ** 2
+    t7 = (1.0 / (n ** 2 * m)) * (ry @ cy) - u_yy * u_xy
+    t8 = (1.0 / (n * m * r)) * (rx_y @ rx_z) - u_xy * u_xz
+    t9 = (1.0 / (r ** 2 * m)) * (rz @ cz) - u_zz * u_xz
 
     zeta1 = t1 + t2 + t3 + t4 + t5 + t6 - 2.0 * (t7 + t8 + t9)
 
     # zeta_2: variance of the full second-order U-statistic kernel
     # h((x_i,y_i,z_i),(x_j,y_j,z_j)) (equal sizes only)
-    h = k_yy_nd - k_zz_nd - k_xy.T - k_xy + k_xz + k_xz.T
-    zeta2 = (1.0 / (m * (m - 1))) * (h ** 2).sum() \
-        - ((u_yy - 2.0 * u_xy) - (u_zz - 2.0 * u_xz)) ** 2
+    diff = (u_zz - 2.0 * u_xz) - (u_yy - 2.0 * u_xy)
+    zeta2 = (1.0 / (m * (m - 1))) * float(h2) - diff ** 2
 
-    return (4.0 * (m - 2) / (m * (m - 1))) * zeta1 \
+    var = (4.0 * (m - 2) / (m * (m - 1))) * zeta1 \
         + (2.0 / (m * (m - 1))) * zeta2
+    return float(diff), float(var)
 
 
 def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
                       subset_size: int = 1000, n_subsets: int = 10,
-                      seed: int = 0) -> Tuple[float, float]:
+                      seed: int = 0, backend: str = "auto") -> Tuple[float, float]:
     """Bounliphone et al. relative-MMD three-sample hypothesis test
     (the lineage's actual scheduler mechanism, SURVEY.md §2.11
     [R-MED]) with the KID polynomial kernel.
@@ -187,23 +347,45 @@ def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
     """
     m = min(subset_size, len(feats_ref), len(feats_a), len(feats_b))
     rng = np.random.default_rng(seed)
-    ps, ts = [], []
+    idx_x, idx_y, idx_z = [], [], []
     for _ in range(n_subsets):
-        x = feats_ref[rng.choice(len(feats_ref), m, replace=False)]
-        y = feats_a[rng.choice(len(feats_a), m, replace=False)]
-        z = feats_b[rng.choice(len(feats_b), m, replace=False)]
-        k_yy = _poly_kernel(y, y)
-        k_zz = _poly_kernel(z, z)
-        k_xy = _poly_kernel(x, y)
-        k_xz = _poly_kernel(x, z)
-        u_yy = (k_yy.sum() - np.trace(k_yy)) / (m * (m - 1))
-        u_zz = (k_zz.sum() - np.trace(k_zz)) / (m * (m - 1))
-        u_xy = k_xy.mean()
-        u_xz = k_xz.mean()
-        # MMD^2(X,Z) - MMD^2(X,Y): positive favors A (= Y, the current
-        # samples); the common K_XX term cancels in the difference
-        diff = (u_zz - 2.0 * u_xz) - (u_yy - 2.0 * u_xy)
-        var = mmd_diff_var(k_yy, k_zz, k_xy, k_xz)
+        idx_x.append(rng.choice(len(feats_ref), m, replace=False))
+        idx_y.append(rng.choice(len(feats_a), m, replace=False))
+        idx_z.append(rng.choice(len(feats_b), m, replace=False))
+
+    if _resolve_backend(backend) == "jax":
+        # Gram blocks + O(m) reductions on device (f32), per-subset
+        # stacked; the moment differences finish in f64 on host
+        prims = _jitted(_rel_scan)(
+            _to_dev(feats_ref), _to_dev(feats_a), _to_dev(feats_b),
+            _stack_idx(idx_x), _stack_idx(idx_y), _stack_idx(idx_z))
+        prims = [np.asarray(p, np.float64) for p in prims]
+        stats = [_rel_finish([p[i] for p in prims], m, m, m)
+                 for i in range(n_subsets)]
+    else:
+        stats = []
+        for i in range(n_subsets):
+            x = feats_ref[idx_x[i]]
+            y = feats_a[idx_y[i]]
+            z = feats_b[idx_z[i]]
+            k_yy = _poly_kernel(y, y)
+            k_zz = _poly_kernel(z, z)
+            k_xy = _poly_kernel(x, y)
+            k_xz = _poly_kernel(x, z)
+            k_yy_nd = k_yy - np.diag(np.diagonal(k_yy))
+            k_zz_nd = k_zz - np.diag(np.diagonal(k_zz))
+            h = k_yy_nd - k_zz_nd - k_xy.T - k_xy + k_xz + k_xz.T
+            stats.append(_rel_finish(
+                (k_yy_nd.sum(), k_zz_nd.sum(), k_xy.sum(), k_xz.sum(),
+                 k_yy_nd.sum(axis=0), k_zz_nd.sum(axis=0),
+                 k_xy.sum(axis=1), k_xz.sum(axis=1),
+                 k_xy.sum(axis=0), k_xz.sum(axis=0),
+                 (h ** 2).sum()), m, m, m))
+
+    ps, ts = [], []
+    # diff = MMD^2(X,Z) - MMD^2(X,Y): positive favors A (= Y, the
+    # current samples); the common K_XX term cancels in the difference
+    for diff, var in stats:
         if var <= 1e-12:
             # degenerate variance estimate (candidates numerically
             # indistinguishable): inconclusive, not infinitely
@@ -219,7 +401,7 @@ def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
 
 def relative_similarity_test(feats_ref: Array, feats_a: Array, feats_b: Array,
                              subset_size: int = 1000, n_subsets: int = 10,
-                             seed: int = 0) -> float:
+                             seed: int = 0, backend: str = "auto") -> float:
     """Three-sample test statistic for the KID LR scheduler (SURVEY.md
     component #11, from Demystifying MMD GANs §5): fraction of subset
     draws where candidate A (current samples) is CLOSER to the
@@ -227,11 +409,25 @@ def relative_similarity_test(feats_ref: Array, feats_a: Array, feats_b: Array,
     on B."""
     rng = np.random.default_rng(seed)
     m = min(subset_size, len(feats_ref), len(feats_a), len(feats_b))
-    wins = 0
+    idx_x, idx_y, idx_z = [], [], []
     for _ in range(n_subsets):
-        r = feats_ref[rng.choice(len(feats_ref), m, replace=False)]
-        a = feats_a[rng.choice(len(feats_a), m, replace=False)]
-        b = feats_b[rng.choice(len(feats_b), m, replace=False)]
+        idx_x.append(rng.choice(len(feats_ref), m, replace=False))
+        idx_y.append(rng.choice(len(feats_a), m, replace=False))
+        idx_z.append(rng.choice(len(feats_b), m, replace=False))
+    if _resolve_backend(backend) == "jax":
+        s_rr, s_aa, s_ra, s_bb, s_rb = [
+            np.asarray(s, np.float64) for s in _jitted(_vote_scan)(
+                _to_dev(feats_ref), _to_dev(feats_a), _to_dev(feats_b),
+                _stack_idx(idx_x), _stack_idx(idx_y), _stack_idx(idx_z))]
+        off = m * (m - 1)
+        mmd_a = s_rr / off + s_aa / off - 2.0 * s_ra / (m * m)
+        mmd_b = s_rr / off + s_bb / off - 2.0 * s_rb / (m * m)
+        return float((mmd_a < mmd_b).mean())
+    wins = 0
+    for i in range(n_subsets):
+        r = feats_ref[idx_x[i]]
+        a = feats_a[idx_y[i]]
+        b = feats_b[idx_z[i]]
         if polynomial_mmd(r, a) < polynomial_mmd(r, b):
             wins += 1
     return wins / n_subsets

@@ -127,7 +127,11 @@ class Trainer:
         n = (min(cfg.no_of_samples, 5000) if cfg.dataset == "synthetic"
              else cfg.no_of_samples)
         rng = jax.random.PRNGKey(cfg.random_seed + step)
-        fake = np.asarray(sample(cfg, self.state, rng, n))
+        # keep generated samples ON DEVICE: the extractor consumes them
+        # where they were made, and only (n, feature_dim) comes back to
+        # host — not the (n, H, W, C) images (61 MB/event at 5000x32^2
+        # over the tunneled link, twice: fetch + re-upload)
+        fake = sample(cfg, self.state, rng, n)
         # one network sweep serves FID/KID (features) and IS (probs)
         from smmdax.eval.features import extract_with_probs
         fake_feats, fake_probs = extract_with_probs(self._extractor, fake)
@@ -147,10 +151,10 @@ class Trainer:
             best_state = self.ckpt.restore_best(self.state)
             meta = self.ckpt.best_meta()
             if best_state is not None and meta is not None:
-                best = np.asarray(sample(
+                best = sample(
                     cfg, best_state,
                     jax.random.PRNGKey(cfg.random_seed
-                                       + int(meta["best_step"])), n))
+                                       + int(meta["best_step"])), n)
                 self._best_feats = self._extractor(best)
                 self._best_kid = float(meta["best_kid"])
             elif best_state is not None:
@@ -159,8 +163,8 @@ class Trainer:
                 # first post-resume score clobber a genuinely better
                 # snapshot — re-score the best snapshot now (fixed key)
                 # and keep it as the comparison state
-                best = np.asarray(sample(
-                    cfg, best_state, jax.random.PRNGKey(cfg.random_seed), n))
+                best = sample(
+                    cfg, best_state, jax.random.PRNGKey(cfg.random_seed), n)
                 self._best_feats = self._extractor(best)
                 self._best_kid = kid_from_features(
                     self._real_feats, self._best_feats,

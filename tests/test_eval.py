@@ -147,3 +147,41 @@ def test_random_conv_features_deterministic():
     f2 = RandomConvFeatures(feature_dim=64, width=8)(imgs)
     np.testing.assert_array_equal(f1, f2)
     assert f1.shape == (8, 64)
+
+
+def test_score_backends_agree():
+    """The device fast path (Gram blocks in f32 on the default JAX
+    backend, f64 host finishing) must agree with the f64 numpy oracle
+    on IDENTICAL subset draws for all three subset-averaged statistics.
+    On the CPU test mesh the 'jax' arm runs on CPU — same code path as
+    on the TPU, minus the accelerator."""
+    from smmdax.eval.scores import kid_from_features, relative_mmd_test
+
+    rng = np.random.default_rng(11)
+    real = rng.normal(size=(600, 64)).astype(np.float32)
+    fake = rng.normal(size=(600, 64)).astype(np.float32) + 0.1
+    best = rng.normal(size=(600, 64)).astype(np.float32) + 0.05
+    kw = dict(subset_size=200, n_subsets=6, seed=5)
+
+    k_np = kid_from_features(real, fake, backend="numpy", **kw)
+    k_jx = kid_from_features(real, fake, backend="jax", **kw)
+    assert k_jx[0] == pytest.approx(k_np[0], abs=1e-5)
+    assert k_jx[1] == pytest.approx(k_np[1], abs=1e-5)
+
+    p_np, t_np = relative_mmd_test(real, fake, best, backend="numpy", **kw)
+    p_jx, t_jx = relative_mmd_test(real, fake, best, backend="jax", **kw)
+    assert p_jx == pytest.approx(p_np, abs=5e-3)
+    assert t_jx == pytest.approx(t_np, rel=5e-2, abs=5e-2)
+
+    v_np = relative_similarity_test(real, fake, best, backend="numpy", **kw)
+    v_jx = relative_similarity_test(real, fake, best, backend="jax", **kw)
+    assert v_np == v_jx
+
+
+def test_score_backend_auto_is_numpy_on_cpu():
+    from smmdax.eval.scores import _resolve_backend
+    assert _resolve_backend("auto") == "numpy"   # CPU test mesh
+    assert _resolve_backend("numpy") == "numpy"
+    assert _resolve_backend("jax") == "jax"
+    with pytest.raises(ValueError):
+        _resolve_backend("cuda")
