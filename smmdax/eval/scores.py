@@ -8,8 +8,12 @@ FID (one eigendecomposition) runs on host numpy.  The subset-averaged
 statistics — KID and both three-sample tests — are matmul-dominated
 (hundreds of m x m polynomial Gram blocks per scoring event) and
 dispatch to a jitted device sweep when JAX's default backend is an
-accelerator (``backend="auto"``): measured 56 s of host f64 numpy per
-scoring event at the default 50x1000 subsets vs ~1 s on the TPU.  The
+accelerator (``backend="auto"``).  Measured at the reference scoring
+geometry (25k x 2048-d features, 50x1000 subsets for KID + the
+relative-MMD test): 28.3 s host f64 numpy per scoring event vs 6.5 s
+on the TPU with the static sets device-cached (the trainer's
+``_score_feats``) — upload of the changing fake set dominates the
+device arm, so callers should keep static feature sets resident.  The
 numpy arm (f64) remains the oracle — both arms draw IDENTICAL subset
 indices from the same RNG sequence and share one set of statistic
 formulas (written numpy/jnp-generically), so they differ only by f32
@@ -84,8 +88,9 @@ def polynomial_mmd(x: Array, y: Array, degree: int = 3, gamma: Optional[float] =
 #
 # KID and the three-sample tests average statistics over dozens of
 # random subsets; each subset costs several m x m polynomial Gram
-# blocks.  In f64 numpy that is ~56 s per scoring event at the default
-# 50x1000 (measured; it stalled training ~50% at the reference's
+# blocks.  In f64 numpy that is ~28 s per scoring event at the
+# reference geometry (25k x 2048-d, 50x1000 subsets x 2 statistics,
+# measured on this host — enough to stall training at the reference's
 # score_every=2000 cadence).  The device path runs the Gram blocks on
 # the accelerator (f32, Precision.HIGHEST) and fetches only O(m)
 # sufficient statistics per subset; all cancellation-sensitive
@@ -189,7 +194,13 @@ def _jitted(fn):
 
 
 def _to_dev(feats):
+    import jax
     import jax.numpy as jnp
+    if isinstance(feats, jax.Array):
+        # already device-resident (e.g. the trainer's cached static
+        # feature sets): no host round-trip — jnp.asarray is a no-op
+        # when the dtype already matches
+        return jnp.asarray(feats, jnp.float32)
     return jnp.asarray(np.asarray(feats), jnp.float32)
 
 

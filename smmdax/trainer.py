@@ -63,6 +63,9 @@ class Trainer:
         self._real_feats: Optional[np.ndarray] = None
         self._best_feats: Optional[np.ndarray] = None
         self._best_kid: float = float("inf")
+        # device-resident copies of the scoring feature sets, keyed by
+        # role ("real"/"fake"/"best") — see _score_feats
+        self._dev_feats: Dict[str, tuple] = {}
 
     # ------------------------------------------------------------------
     def _dsteps_at(self, step: int) -> int:
@@ -117,6 +120,25 @@ class Trainer:
                     cands.append(edge)
         return min(c for c in cands if c > step)
 
+    def _score_feats(self, name: str, feats):
+        """Device-resident copy of a feature set for the subset-sweep
+        statistics (KID / three-sample tests), re-uploaded only when
+        the host array object changes: the real set rides the link
+        ONCE per run and the best set once per improvement instead of
+        per scoring event (80 MB each at 25k x 2048-d over the
+        tunneled link).  Passthrough when the sweeps resolve to the
+        host numpy oracle (CPU) — every numpy arm coerces internally,
+        so semantics are unchanged either way."""
+        from smmdax.eval.scores import _resolve_backend
+        if feats is None or _resolve_backend("auto") != "jax":
+            return feats
+        hit = self._dev_feats.get(name)
+        if hit is not None and hit[0] is feats:
+            return hit[1]
+        dev = jnp.asarray(np.asarray(feats), jnp.float32)
+        self._dev_feats[name] = (feats, dev)
+        return dev
+
     def _score(self, step: int) -> Dict[str, float]:
         """FID/KID of generated samples vs the real source + LR decay."""
         cfg = self.cfg
@@ -167,12 +189,14 @@ class Trainer:
                     cfg, best_state, jax.random.PRNGKey(cfg.random_seed), n)
                 self._best_feats = self._extractor(best)
                 self._best_kid = kid_from_features(
-                    self._real_feats, self._best_feats,
+                    self._score_feats("real", self._real_feats),
+                    self._score_feats("best", self._best_feats),
                     subset_size=min(cfg.score_subset_size, n),
                     n_subsets=cfg.score_subsets)[0]
         fid = fid_from_features(self._real_feats, fake_feats)
         kid, kid_std = kid_from_features(
-            self._real_feats, fake_feats,
+            self._score_feats("real", self._real_feats),
+            self._score_feats("fake", fake_feats),
             subset_size=min(cfg.score_subset_size, n),
             n_subsets=cfg.score_subsets)
         out = {"fid": fid, "kid": kid, "kid_std": kid_std}
@@ -202,7 +226,9 @@ class Trainer:
                     # improvement = the test REJECTS "current is no
                     # closer than best" at scheduler_p_threshold
                     p_val, t_stat = relative_mmd_test(
-                        self._real_feats, fake_feats, self._best_feats,
+                        self._score_feats("real", self._real_feats),
+                        self._score_feats("fake", fake_feats),
+                        self._score_feats("best", self._best_feats),
                         subset_size=min(cfg.score_subset_size, n),
                         n_subsets=cfg.score_subsets, seed=step)
                     out["three_sample_p"] = p_val
@@ -210,7 +236,9 @@ class Trainer:
                     improved = p_val < cfg.scheduler_p_threshold
                 else:
                     win = relative_similarity_test(
-                        self._real_feats, fake_feats, self._best_feats,
+                        self._score_feats("real", self._real_feats),
+                        self._score_feats("fake", fake_feats),
+                        self._score_feats("best", self._best_feats),
                         subset_size=min(cfg.score_subset_size, n),
                         n_subsets=cfg.score_subsets, seed=step)
                     out["three_sample_win"] = win

@@ -185,3 +185,64 @@ def test_score_backend_auto_is_numpy_on_cpu():
     assert _resolve_backend("jax") == "jax"
     with pytest.raises(ValueError):
         _resolve_backend("cuda")
+
+
+def test_device_resident_features_accepted():
+    """jax.Array feature sets (the trainer's device cache) must give
+    identical results on BOTH backends, and _to_dev must not copy an
+    already-device-resident f32 array."""
+    import jax.numpy as jnp
+    from smmdax.eval.scores import (_to_dev, kid_from_features,
+                                    relative_mmd_test)
+
+    rng = np.random.default_rng(3)
+    real = rng.normal(size=(300, 32)).astype(np.float32)
+    fake = rng.normal(size=(300, 32)).astype(np.float32) + 0.1
+    best = rng.normal(size=(300, 32)).astype(np.float32) + 0.05
+    real_d, fake_d, best_d = map(jnp.asarray, (real, fake, best))
+
+    dev = _to_dev(real_d)
+    assert dev is real_d                  # no-op for f32 device arrays
+
+    kw = dict(subset_size=100, n_subsets=4, seed=2)
+    for backend in ("numpy", "jax"):
+        k_h = kid_from_features(real, fake, backend=backend, **kw)
+        k_d = kid_from_features(real_d, fake_d, backend=backend, **kw)
+        assert k_d[0] == pytest.approx(k_h[0], abs=1e-6)
+        p_h, t_h = relative_mmd_test(real, fake, best, backend=backend, **kw)
+        p_d, t_d = relative_mmd_test(real_d, fake_d, best_d,
+                                     backend=backend, **kw)
+        assert p_d == pytest.approx(p_h, abs=1e-6)
+        assert t_d == pytest.approx(t_h, rel=1e-4, abs=1e-4)
+
+
+def test_trainer_score_feats_cache(tmp_path, monkeypatch):
+    """_score_feats uploads a host feature set once and reuses the
+    device copy until the array OBJECT changes (the real set rides the
+    link once per run); passthrough when the sweeps resolve to numpy."""
+    from smmdax.configs import Config
+    from smmdax.trainer import Trainer
+    import smmdax.eval.scores as scores_mod
+
+    cfg = Config(dataset="synthetic", batch_size=8, output_size=32,
+                 max_iteration=1, checkpoint_dir=str(tmp_path / "ck"),
+                 sample_dir=str(tmp_path / "s"), log_dir=str(tmp_path / "l"),
+                 log=False)
+    tr = Trainer(cfg)
+    feats = np.random.default_rng(0).normal(size=(16, 8)).astype(np.float32)
+
+    # CPU mesh: auto resolves numpy -> passthrough, no cache entry
+    assert tr._score_feats("real", feats) is feats
+    assert tr._dev_feats == {}
+    assert tr._score_feats("real", None) is None
+
+    # force the device arm: first call uploads, second is the same
+    # object, a NEW array re-uploads
+    monkeypatch.setattr(scores_mod, "_resolve_backend", lambda b: "jax")
+    d1 = tr._score_feats("real", feats)
+    assert d1 is not feats
+    assert tr._score_feats("real", feats) is d1
+    feats2 = feats + 1.0
+    d2 = tr._score_feats("real", feats2)
+    assert d2 is not d1
+    np.testing.assert_allclose(np.asarray(d2), feats2)
