@@ -62,6 +62,11 @@ def main(argv=None) -> None:
     p.add_argument("--subset_size", type=int, default=1000)
     p.add_argument("--n_subsets", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--score_backend", default="auto",
+                   choices=("auto", "numpy", "jax"),
+                   help="where the subset-sweep Gram blocks run: auto = "
+                        "device when the default JAX backend is an "
+                        "accelerator, else the f64 numpy oracle")
     args = p.parse_args(argv)
 
     from smmdax.eval import (fid_from_features, get_feature_extractor,
@@ -105,7 +110,8 @@ def main(argv=None) -> None:
     fid = fid_from_features(fr, ff)
     kid, kid_std = kid_from_features(fr, ff,
                                      subset_size=min(args.subset_size, len(fr), len(ff)),
-                                     n_subsets=args.n_subsets)
+                                     n_subsets=args.n_subsets,
+                                     backend=args.score_backend)
     print(f"FID: {fid:.4f}")
     print(f"KID: {kid:.6f} +- {kid_std:.6f}")
     if fake_probs is not None:
@@ -117,7 +123,8 @@ def main(argv=None) -> None:
         p_val, t_stat = relative_mmd_test(
             fr, ff, fo,
             subset_size=min(args.subset_size, len(fr), len(ff), len(fo)),
-            n_subsets=args.n_subsets, seed=args.seed)
+            n_subsets=args.n_subsets, seed=args.seed,
+            backend=args.score_backend)
         print(f"relative-MMD test (FAKE closer than COMPARE?): "
               f"p={p_val:.4f} t={t_stat:.3f} "
               f"({'FAKE significantly closer' if p_val < 0.05 else 'COMPARE significantly closer' if p_val > 0.95 else 'inconclusive'})")

@@ -123,16 +123,24 @@ class InceptionFeatures:
                                 fid_semantics=fid_semantics)
         self.batch = batch
 
+    @staticmethod
+    def _coerce(images):
+        # device arrays pass through (InceptionV3._batched keeps them
+        # on device); host inputs are normalized to f32 numpy
+        if isinstance(images, jax.Array):
+            return images
+        return np.asarray(images, np.float32)
+
     def __call__(self, images: Array) -> Array:
-        return self._net.pool3(np.asarray(images, np.float32))
+        return self._net.pool3(self._coerce(images))
 
     def probs(self, images: Array) -> Array:
         """Softmax class probabilities (for the Inception Score)."""
-        return self._net.probs(np.asarray(images, np.float32))
+        return self._net.probs(self._coerce(images))
 
     def features_and_probs(self, images: Array):
         """(pool3, probs) from one network sweep (scoring fast path)."""
-        return self._net.pool3_and_probs(np.asarray(images, np.float32))
+        return self._net.pool3_and_probs(self._coerce(images))
 
 
 def extract_with_probs(extractor: FeatureExtractor, images: Array):

@@ -370,21 +370,25 @@ class InceptionV3:
                            fid_semantics=self.fid_semantics)
         self._run = _run
 
-    def _batched(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def _batched(self, images) -> Tuple[np.ndarray, np.ndarray]:
+        # device arrays stay on device (the trainer feeds generator
+        # output directly — no image round-trip over the host link;
+        # only the (n, 2048)/(n, k) heads come back)
+        on_dev = isinstance(images, jax.Array)
+        xp = jnp if on_dev else np
         pools, logits = [], []
         n = len(images)
         for i in range(0, n, self.batch):
-            chunk = np.asarray(images[i:i + self.batch], np.float32)
-            if len(chunk) < self.batch:     # pad to avoid a recompile
-                pad = self.batch - len(chunk)
-                chunk = np.concatenate([chunk, np.zeros_like(chunk[:1]).repeat(pad, 0)])
-                p, l = self._run(self.params, jnp.asarray(chunk))
-                pools.append(np.asarray(p[: self.batch - pad]))
-                logits.append(np.asarray(l[: self.batch - pad]))
-            else:
-                p, l = self._run(self.params, jnp.asarray(chunk))
-                pools.append(np.asarray(p))
-                logits.append(np.asarray(l))
+            chunk = (images[i:i + self.batch] if on_dev
+                     else np.asarray(images[i:i + self.batch], np.float32))
+            keep = len(chunk)
+            if keep < self.batch:           # pad to avoid a recompile
+                pad = self.batch - keep
+                chunk = xp.concatenate(
+                    [chunk, xp.zeros_like(chunk[:1]).repeat(pad, 0)])
+            p, l = self._run(self.params, jnp.asarray(chunk, jnp.float32))
+            pools.append(np.asarray(p[:keep]))
+            logits.append(np.asarray(l[:keep]))
         return (np.concatenate(pools).astype(np.float32),
                 np.concatenate(logits).astype(np.float32))
 

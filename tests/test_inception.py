@@ -351,3 +351,21 @@ def test_get_feature_extractor_threads_fid_semantics(tmp_path):
     assert ext_on.name == "inception_v3"
     assert ext_on._net.fid_semantics is True      # forced on
     assert ext_auto._net.fid_semantics is False   # auto: 1000-way fc
+
+
+def test_device_array_input_matches_numpy(tmp_path):
+    """jax.Array image input (the trainer's on-device samples) must
+    produce the same features/probs as host numpy input, including the
+    padded final chunk — and stay on device until the heads come back."""
+    import jax.numpy as jnp
+    from smmdax.eval.features import InceptionFeatures
+
+    path = tmp_path / "inception_v3.npz"
+    np.savez(path, **jinc.random_state_dict(seed=11))
+    ext = InceptionFeatures(str(path), batch=2)
+    imgs = np.random.default_rng(9).uniform(-1, 1, (3, 32, 32, 3)).astype(np.float32)
+
+    f_np, p_np = ext.features_and_probs(imgs)
+    f_dev, p_dev = ext.features_and_probs(jnp.asarray(imgs))
+    np.testing.assert_allclose(f_dev, f_np, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(p_dev, p_np, rtol=1e-5, atol=1e-7)
