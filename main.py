@@ -70,8 +70,12 @@ def main(argv=None) -> None:
         extractor = get_feature_extractor(cfg.data_dir)
         source = make_dataset(cfg)
         real = source.batch(min(cfg.no_of_samples, 5000))
-        fr = extractor(real)
-        ff, probs = extract_with_probs(extractor, imgs)
+        # on an accelerator the features stay device-resident end to
+        # end (FID stats / KID sweep / IS consume them in place)
+        from smmdax.eval.scores import _resolve_backend
+        fetch = _resolve_backend("auto") != "jax"
+        fr = extractor(real, fetch=fetch)
+        ff, probs = extract_with_probs(extractor, imgs, fetch=fetch)
         fid = fid_from_features(fr, ff)
         kid, kid_std = kid_from_features(fr, ff,
                                          subset_size=min(1000, len(ff)))

@@ -74,18 +74,24 @@ class RandomConvFeatures:
                 x = jax.nn.leaky_relu(x, 0.2)
         return jnp.mean(x, axis=(1, 2))
 
-    def __call__(self, images) -> Array:
+    def __call__(self, images, fetch: bool = True) -> Array:
         # device arrays stay on device (no host round-trip: the trainer
-        # feeds generator output directly; only features come back)
+        # feeds generator output directly; only features come back) and
+        # all chunks are dispatched before any result is fetched — a
+        # per-chunk fetch idles the device between chunks (see
+        # InceptionV3._batched for the measurement).  ``fetch=False``
+        # returns the features as a device array for device-side
+        # scoring (FID stats / KID Gram sweeps consume them in place).
         if not isinstance(images, jax.Array):
             images = np.asarray(images, np.float32)
         if self._params is None:
             self._init(images.shape[-1])
-        outs = []
-        for i in range(0, len(images), self.batch):
-            chunk = jnp.asarray(images[i:i + self.batch], jnp.float32)
-            outs.append(np.asarray(self._apply(self._params, chunk)))
-        return np.concatenate(outs).astype(np.float32)
+        outs = [self._apply(self._params,
+                            jnp.asarray(images[i:i + self.batch], jnp.float32))
+                for i in range(0, len(images), self.batch)]
+        if not fetch:
+            return jnp.concatenate(outs).astype(jnp.float32)
+        return np.concatenate([np.asarray(o) for o in outs]).astype(np.float32)
 
 
 class InceptionFeatures:
@@ -131,25 +137,35 @@ class InceptionFeatures:
             return images
         return np.asarray(images, np.float32)
 
-    def __call__(self, images: Array) -> Array:
-        return self._net.pool3(self._coerce(images))
+    def __call__(self, images: Array, fetch: bool = True) -> Array:
+        return self._net.pool3(self._coerce(images), fetch=fetch)
 
-    def probs(self, images: Array) -> Array:
+    def probs(self, images: Array, fetch: bool = True) -> Array:
         """Softmax class probabilities (for the Inception Score)."""
-        return self._net.probs(self._coerce(images))
+        return self._net.probs(self._coerce(images), fetch=fetch)
 
-    def features_and_probs(self, images: Array):
+    def features_and_probs(self, images: Array, fetch: bool = True):
         """(pool3, probs) from one network sweep (scoring fast path)."""
-        return self._net.pool3_and_probs(self._coerce(images))
+        return self._net.pool3_and_probs(self._coerce(images), fetch=fetch)
 
 
-def extract_with_probs(extractor: FeatureExtractor, images: Array):
+def extract_with_probs(extractor: FeatureExtractor, images: Array,
+                       fetch: bool = True):
     """(features, probs-or-None) in ONE network sweep when the
     extractor supports it — the shared protocol for every scoring
-    caller (trainer interval scoring, main.py eval, compute_scores)."""
+    caller (trainer interval scoring, main.py eval, compute_scores).
+    ``fetch=False`` asks for device-resident outputs (extractors that
+    don't understand the flag fall back to host arrays — callers must
+    treat the return type as either)."""
     if hasattr(extractor, "features_and_probs"):
-        return extractor.features_and_probs(images)
-    feats = extractor(images)
+        try:
+            return extractor.features_and_probs(images, fetch=fetch)
+        except TypeError:               # extractor without fetch support
+            return extractor.features_and_probs(images)
+    try:
+        feats = extractor(images, fetch=fetch)
+    except TypeError:                   # extractor without fetch support
+        feats = extractor(images)
     probs = extractor.probs(images) if hasattr(extractor, "probs") else None
     return feats, probs
 

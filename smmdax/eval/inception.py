@@ -370,10 +370,14 @@ class InceptionV3:
                            fid_semantics=self.fid_semantics)
         self._run = _run
 
-    def _batched(self, images) -> Tuple[np.ndarray, np.ndarray]:
-        # device arrays stay on device (the trainer feeds generator
+    def _batched(self, images, fetch: bool = True):
+        # Device arrays stay on device (the trainer feeds generator
         # output directly — no image round-trip over the host link;
-        # only the (n, 2048)/(n, k) heads come back)
+        # only the (n, 2048)/(n, k) heads come back).  All chunks are
+        # DISPATCHED before any result is fetched: a per-chunk fetch
+        # would sync the host to each chunk and idle the device between
+        # them — measured 925 img/s fetch-per-chunk vs 3.5k img/s for
+        # the jitted step itself at B=256 on the tunneled TPU link.
         on_dev = isinstance(images, jax.Array)
         xp = jnp if on_dev else np
         pools, logits = [], []
@@ -387,29 +391,38 @@ class InceptionV3:
                 chunk = xp.concatenate(
                     [chunk, xp.zeros_like(chunk[:1]).repeat(pad, 0)])
             p, l = self._run(self.params, jnp.asarray(chunk, jnp.float32))
-            pools.append(np.asarray(p[:keep]))
-            logits.append(np.asarray(l[:keep]))
-        return (np.concatenate(pools).astype(np.float32),
-                np.concatenate(logits).astype(np.float32))
+            pools.append(p[:keep])          # lazy: dispatch-only
+            logits.append(l[:keep])
+        if not fetch:
+            return (jnp.concatenate(pools).astype(jnp.float32),
+                    jnp.concatenate(logits).astype(jnp.float32))
+        return (np.concatenate([np.asarray(p) for p in pools]).astype(np.float32),
+                np.concatenate([np.asarray(l) for l in logits]).astype(np.float32))
 
     @staticmethod
-    def _softmax(logits: np.ndarray) -> np.ndarray:
+    def _softmax(logits) -> np.ndarray:
+        # numerically-shifted softmax; device logits stay on device
+        # (f32 — shifted exp/sum has no cancellation hazard)
+        if isinstance(logits, jax.Array):
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=1)
         z = logits.astype(np.float64)
         z -= z.max(axis=1, keepdims=True)
         e = np.exp(z)
         return (e / e.sum(axis=1, keepdims=True)).astype(np.float32)
 
-    def pool3(self, images: np.ndarray) -> np.ndarray:
-        return self._batched(images)[0]
+    def pool3(self, images, fetch: bool = True):
+        return self._batched(images, fetch=fetch)[0]
 
-    def probs(self, images: np.ndarray) -> np.ndarray:
-        return self._softmax(self._batched(images)[1])
+    def probs(self, images, fetch: bool = True):
+        return self._softmax(self._batched(images, fetch=fetch)[1])
 
-    def pool3_and_probs(self, images: np.ndarray):
+    def pool3_and_probs(self, images, fetch: bool = True):
         """Both heads from ONE forward sweep — scoring wants pool3 (for
         FID/KID) and probs (for IS) of the same samples; running the
-        network twice would double interval cost."""
-        pool, logits = self._batched(images)
+        network twice would double interval cost.  ``fetch=False``
+        keeps both heads on device (features feed device-side scoring
+        directly; nothing O(N) crosses the host link)."""
+        pool, logits = self._batched(images, fetch=fetch)
         return pool, self._softmax(logits)
 
 

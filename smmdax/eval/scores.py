@@ -33,7 +33,27 @@ Array = np.ndarray
 
 
 def gaussian_stats(feats: Array) -> Tuple[Array, Array]:
-    """(mean, covariance) of a (N, d) feature matrix."""
+    """(mean, covariance) of a (N, d) feature matrix, as f64 numpy.
+
+    Device-resident features compute the O(N d^2) covariance matmul on
+    the accelerator (two-pass centered form, f32 Precision.HIGHEST —
+    centering first keeps the f32 product well-conditioned) and fetch
+    only the O(d^2) statistics: at the reference geometry that is
+    17 MB over the host link instead of the 200 MB feature matrix.
+    Host numpy inputs keep the f64 oracle path."""
+    try:
+        import jax
+        is_dev = isinstance(feats, jax.Array)
+    except Exception:                                # pragma: no cover
+        is_dev = False
+    if is_dev:
+        import jax.numpy as jnp
+        x = jnp.asarray(feats, jnp.float32)
+        mu = jnp.mean(x, axis=0)
+        xc = x - mu
+        sigma = jnp.matmul(xc.T, xc,
+                           precision=jax.lax.Precision.HIGHEST) / (len(x) - 1)
+        return (np.asarray(mu, np.float64), np.asarray(sigma, np.float64))
     feats = np.asarray(feats, np.float64)
     mu = feats.mean(axis=0)
     sigma = np.cov(feats, rowvar=False)
@@ -237,8 +257,21 @@ def kid_from_features(feats_real: Array, feats_fake: Array,
 
 
 def inception_score(probs: Array, n_splits: int = 10) -> Tuple[float, float]:
-    """IS = exp(E_x KL(p(y|x) || p(y))) over class-probability rows."""
-    probs = np.asarray(probs, np.float64)
+    """IS = exp(E_x KL(p(y|x) || p(y))) over class-probability rows.
+
+    Device-resident probs stay on device (f32; the formula is a mean
+    of logs of softmax outputs — no cancellation hazard) and only the
+    per-split scalars come back to host; numpy inputs keep f64."""
+    try:
+        import jax
+        is_dev = isinstance(probs, jax.Array)
+    except Exception:                                # pragma: no cover
+        is_dev = False
+    if is_dev:
+        import jax.numpy as xp
+    else:
+        xp = np
+        probs = np.asarray(probs, np.float64)
     scores = []
     n = len(probs)
     for i in range(n_splits):
@@ -246,9 +279,12 @@ def inception_score(probs: Array, n_splits: int = 10) -> Tuple[float, float]:
         if len(part) == 0:
             continue
         py = part.mean(axis=0, keepdims=True)
-        kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12))
-        scores.append(np.exp(kl.sum(axis=1).mean()))
-    return float(np.mean(scores)), float(np.std(scores))
+        kl = part * (xp.log(part + 1e-12) - xp.log(py + 1e-12))
+        scores.append(xp.exp(kl.sum(axis=1).mean()))
+    if is_dev:
+        scores = xp.stack(scores)           # one fetch, not n_splits
+    scores = np.asarray(scores, np.float64)
+    return float(scores.mean()), float(scores.std())
 
 
 def _norm_cdf(x: float) -> float:

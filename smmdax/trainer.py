@@ -23,8 +23,8 @@ from smmdax.checkpoint import CheckpointManager
 from smmdax.configs import Config
 from smmdax.data import make_dataset
 from smmdax.data.pipeline import macro_batch_at
-from smmdax.eval import (fid_from_features, get_feature_extractor,
-                         kid_from_features)
+from smmdax.eval import (frechet_distance, gaussian_stats,
+                         get_feature_extractor, kid_from_features)
 from smmdax.eval.scores import relative_mmd_test, relative_similarity_test
 from smmdax.train import (TrainState, create_state, jit_train_step,
                           make_mesh, sample)
@@ -61,6 +61,7 @@ class Trainer:
         self._step_cache: Dict[tuple, callable] = {}
         self._extractor = None
         self._real_feats: Optional[np.ndarray] = None
+        self._real_stats: Optional[tuple] = None   # cached FID (mu, cov)
         self._best_feats: Optional[np.ndarray] = None
         self._best_kid: float = float("inf")
         # device-resident copies of the scoring feature sets, keyed by
@@ -130,7 +131,9 @@ class Trainer:
         host numpy oracle (CPU) — every numpy arm coerces internally,
         so semantics are unchanged either way."""
         from smmdax.eval.scores import _resolve_backend
-        if feats is None or _resolve_backend("auto") != "jax":
+        if feats is None or isinstance(feats, jax.Array):
+            return feats                  # already device-resident
+        if _resolve_backend("auto") != "jax":
             return feats
         hit = self._dev_feats.get(name)
         if hit is not None and hit[0] is feats:
@@ -154,14 +157,21 @@ class Trainer:
         # host — not the (n, H, W, C) images (61 MB/event at 5000x32^2
         # over the tunneled link, twice: fetch + re-upload)
         fake = sample(cfg, self.state, rng, n)
-        # one network sweep serves FID/KID (features) and IS (probs)
+        # one network sweep serves FID/KID (features) and IS (probs);
+        # on an accelerator the outputs stay device-resident — device
+        # FID stats / KID sweeps / IS consume them in place, and only
+        # O(d^2) statistics ever cross the host link
         from smmdax.eval.features import extract_with_probs
-        fake_feats, fake_probs = extract_with_probs(self._extractor, fake)
+        from smmdax.eval.scores import _resolve_backend
+        use_dev = _resolve_backend("auto") == "jax"
+        fake_feats, fake_probs = extract_with_probs(
+            self._extractor, fake, fetch=not use_dev)
         if self._real_feats is None:
             # fixed key: the scoring reference set is identical across
             # resumes (exact-resume extends to scheduler decisions)
             self._real_feats = self._extractor(
                 self.source.batch(n, key=2**31 + 1))
+            self._real_stats = None       # FID stats follow the set
         if (cfg.MMD_lr_scheduler and self._best_feats is None
                 and int(self.state.step) > 0):
             # resumed run: rebuild the scheduler's best-snapshot state
@@ -193,7 +203,12 @@ class Trainer:
                     self._score_feats("best", self._best_feats),
                     subset_size=min(cfg.score_subset_size, n),
                     n_subsets=cfg.score_subsets)[0]
-        fid = fid_from_features(self._real_feats, fake_feats)
+        if self._real_stats is None:      # FID stats of the fixed real
+            self._real_stats = gaussian_stats(   # set: computed once
+                self._score_feats("real", self._real_feats)
+                if use_dev else self._real_feats)
+        fid = frechet_distance(*self._real_stats,
+                               *gaussian_stats(fake_feats))
         kid, kid_std = kid_from_features(
             self._score_feats("real", self._real_feats),
             self._score_feats("fake", fake_feats),

@@ -246,3 +246,65 @@ def test_trainer_score_feats_cache(tmp_path, monkeypatch):
     d2 = tr._score_feats("real", feats2)
     assert d2 is not d1
     np.testing.assert_allclose(np.asarray(d2), feats2)
+
+
+def test_gaussian_stats_and_fid_device_arm():
+    """gaussian_stats on a device array (f32 HIGHEST centered matmul,
+    O(d^2) fetched) must match the f64 numpy oracle, and FID computed
+    from mixed host/device stats must agree."""
+    import jax.numpy as jnp
+    from smmdax.eval.scores import (fid_from_features, frechet_distance,
+                                    gaussian_stats)
+
+    rng = np.random.default_rng(7)
+    real = rng.normal(size=(500, 48)).astype(np.float32)
+    fake = (rng.normal(size=(500, 48)) * 1.1 + 0.2).astype(np.float32)
+
+    mu_h, s_h = gaussian_stats(real)
+    mu_d, s_d = gaussian_stats(jnp.asarray(real))
+    assert mu_d.dtype == np.float64 and s_d.dtype == np.float64
+    np.testing.assert_allclose(mu_d, mu_h, atol=1e-6)
+    np.testing.assert_allclose(s_d, s_h, atol=1e-5)
+
+    fid_h = fid_from_features(real, fake)
+    fid_m = frechet_distance(*gaussian_stats(real),
+                             *gaussian_stats(jnp.asarray(fake)))
+    assert fid_m == pytest.approx(fid_h, rel=1e-4, abs=1e-4)
+
+
+def test_inception_score_device_arm():
+    import jax.numpy as jnp
+    from smmdax.eval.scores import inception_score
+
+    rng = np.random.default_rng(5)
+    logits = rng.normal(size=(64, 10))
+    probs = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+    m_h, s_h = inception_score(probs.astype(np.float32), n_splits=4)
+    m_d, s_d = inception_score(jnp.asarray(probs, jnp.float32), n_splits=4)
+    assert m_d == pytest.approx(m_h, rel=1e-5)
+    assert s_d == pytest.approx(s_h, rel=1e-4, abs=1e-6)
+
+
+def test_extractor_fetch_false_stays_on_device():
+    """fetch=False returns device-resident features identical to the
+    fetched ones; extract_with_probs threads the flag and falls back
+    gracefully for extractors without it."""
+    import jax
+    from smmdax.eval.features import RandomConvFeatures, extract_with_probs
+
+    imgs = np.random.default_rng(0).uniform(-1, 1, (5, 16, 16, 3)).astype(np.float32)
+    ext = RandomConvFeatures(feature_dim=32, width=8, batch=2)
+    f_host = ext(imgs)
+    f_dev = ext(imgs, fetch=False)
+    assert isinstance(f_dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(f_dev), f_host, rtol=1e-6)
+
+    fw, pw = extract_with_probs(ext, imgs, fetch=False)
+    assert isinstance(fw, jax.Array) and pw is None
+
+    class Legacy:                         # no fetch kwarg anywhere
+        name, feature_dim = "legacy", 4
+        def __call__(self, images):
+            return np.ones((len(images), 4), np.float32)
+    fl, pl = extract_with_probs(Legacy(), imgs, fetch=False)
+    assert isinstance(fl, np.ndarray) and pl is None

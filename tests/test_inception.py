@@ -369,3 +369,22 @@ def test_device_array_input_matches_numpy(tmp_path):
     f_dev, p_dev = ext.features_and_probs(jnp.asarray(imgs))
     np.testing.assert_allclose(f_dev, f_np, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(p_dev, p_np, rtol=1e-5, atol=1e-7)
+
+
+def test_fetch_false_keeps_heads_on_device(tmp_path):
+    """pool3_and_probs(fetch=False) returns device arrays numerically
+    identical (f32 softmax vs f64 host softmax) to the fetched path."""
+    import jax
+    import jax.numpy as jnp
+    from smmdax.eval.features import InceptionFeatures
+
+    path = tmp_path / "inception_v3.npz"
+    np.savez(path, **jinc.random_state_dict(seed=11))
+    ext = InceptionFeatures(str(path), batch=2)
+    imgs = np.random.default_rng(2).uniform(-1, 1, (3, 32, 32, 3)).astype(np.float32)
+
+    f_h, p_h = ext.features_and_probs(imgs)
+    f_d, p_d = ext.features_and_probs(jnp.asarray(imgs), fetch=False)
+    assert isinstance(f_d, jax.Array) and isinstance(p_d, jax.Array)
+    np.testing.assert_allclose(np.asarray(f_d), f_h, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_d), p_h, rtol=1e-4, atol=1e-6)
