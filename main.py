@@ -72,9 +72,9 @@ def main(argv=None) -> None:
         real = source.batch(min(cfg.no_of_samples, 5000))
         # on an accelerator the features stay device-resident end to
         # end (FID stats / KID sweep / IS consume them in place)
-        from smmdax.eval.scores import _resolve_backend
-        fetch = _resolve_backend("auto") != "jax"
-        fr = extractor(real, fetch=fetch)
+        from smmdax.eval import extract_features, use_device_scoring
+        fetch = not use_device_scoring()
+        fr = extract_features(extractor, real, fetch=fetch)
         ff, probs = extract_with_probs(extractor, imgs, fetch=fetch)
         fid = fid_from_features(fr, ff)
         kid, kid_std = kid_from_features(fr, ff,

@@ -11,11 +11,14 @@ from smmdax.eval.scores import (  # noqa: F401
     kid_from_features,
     inception_score,
     gaussian_stats,
+    use_device_scoring,
 )
 from smmdax.eval.features import (  # noqa: F401
     FeatureExtractor,
     InceptionFeatures,
     RandomConvFeatures,
+    extract_features,
+    extract_with_probs,
     find_inception_weights,
     get_feature_extractor,
 )

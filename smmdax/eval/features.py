@@ -149,6 +149,27 @@ class InceptionFeatures:
         return self._net.pool3_and_probs(self._coerce(images), fetch=fetch)
 
 
+def _takes_fetch(fn) -> bool:
+    """Capability check for the ``fetch`` kwarg (signature inspection,
+    NOT try/except TypeError — a genuine TypeError inside the sweep
+    must propagate, not silently re-run the whole network)."""
+    import inspect
+    try:
+        return "fetch" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):     # builtins / odd callables
+        return False
+
+
+def extract_features(extractor: FeatureExtractor, images: Array,
+                     fetch: bool = True) -> Array:
+    """``extractor(images)`` with ``fetch`` threaded when supported.
+    Extractors without the flag return host arrays — callers must
+    treat the return type as either."""
+    if _takes_fetch(extractor.__call__):
+        return extractor(images, fetch=fetch)
+    return extractor(images)
+
+
 def extract_with_probs(extractor: FeatureExtractor, images: Array,
                        fetch: bool = True):
     """(features, probs-or-None) in ONE network sweep when the
@@ -158,15 +179,13 @@ def extract_with_probs(extractor: FeatureExtractor, images: Array,
     don't understand the flag fall back to host arrays — callers must
     treat the return type as either)."""
     if hasattr(extractor, "features_and_probs"):
-        try:
-            return extractor.features_and_probs(images, fetch=fetch)
-        except TypeError:               # extractor without fetch support
-            return extractor.features_and_probs(images)
-    try:
-        feats = extractor(images, fetch=fetch)
-    except TypeError:                   # extractor without fetch support
-        feats = extractor(images)
-    probs = extractor.probs(images) if hasattr(extractor, "probs") else None
+        fn = extractor.features_and_probs
+        return fn(images, fetch=fetch) if _takes_fetch(fn) else fn(images)
+    feats = extract_features(extractor, images, fetch=fetch)
+    probs = None
+    if hasattr(extractor, "probs"):
+        fn = extractor.probs
+        probs = fn(images, fetch=fetch) if _takes_fetch(fn) else fn(images)
     return feats, probs
 
 

@@ -134,6 +134,14 @@ def _resolve_backend(backend: str) -> str:
     return backend
 
 
+def use_device_scoring() -> bool:
+    """True when ``backend="auto"`` resolves to the device sweep (the
+    default JAX backend is an accelerator) — the single public switch
+    every scoring caller keys device-residency decisions on (feature
+    ``fetch=False``, device caches)."""
+    return _resolve_backend("auto") == "jax"
+
+
 def _gram_dev(a, b):
     """KID polynomial kernel block on device (f32 MXU matmul)."""
     import jax

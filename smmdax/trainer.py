@@ -60,9 +60,11 @@ class Trainer:
         # depths, each compiled once)
         self._step_cache: Dict[tuple, callable] = {}
         self._extractor = None
-        self._real_feats: Optional[np.ndarray] = None
+        # feature sets are host numpy on CPU, device jax.Arrays on an
+        # accelerator (use_device_scoring) — scoring handles either
+        self._real_feats: Optional[np.ndarray | jax.Array] = None
         self._real_stats: Optional[tuple] = None   # cached FID (mu, cov)
-        self._best_feats: Optional[np.ndarray] = None
+        self._best_feats: Optional[np.ndarray | jax.Array] = None
         self._best_kid: float = float("inf")
         # device-resident copies of the scoring feature sets, keyed by
         # role ("real"/"fake"/"best") — see _score_feats
@@ -126,14 +128,14 @@ class Trainer:
         statistics (KID / three-sample tests), re-uploaded only when
         the host array object changes: the real set rides the link
         ONCE per run and the best set once per improvement instead of
-        per scoring event (80 MB each at 25k x 2048-d over the
+        per scoring event (~200 MB each at 25k x 2048-d over the
         tunneled link).  Passthrough when the sweeps resolve to the
         host numpy oracle (CPU) — every numpy arm coerces internally,
         so semantics are unchanged either way."""
-        from smmdax.eval.scores import _resolve_backend
+        from smmdax.eval.scores import use_device_scoring
         if feats is None or isinstance(feats, jax.Array):
             return feats                  # already device-resident
-        if _resolve_backend("auto") != "jax":
+        if not use_device_scoring():
             return feats
         hit = self._dev_feats.get(name)
         if hit is not None and hit[0] is feats:
@@ -160,17 +162,20 @@ class Trainer:
         # one network sweep serves FID/KID (features) and IS (probs);
         # on an accelerator the outputs stay device-resident — device
         # FID stats / KID sweeps / IS consume them in place, and only
-        # O(d^2) statistics ever cross the host link
-        from smmdax.eval.features import extract_with_probs
-        from smmdax.eval.scores import _resolve_backend
-        use_dev = _resolve_backend("auto") == "jax"
+        # sub-O(N) statistics ever cross the host link
+        from smmdax.eval.features import extract_features, extract_with_probs
+        from smmdax.eval.scores import use_device_scoring
+        use_dev = use_device_scoring()
         fake_feats, fake_probs = extract_with_probs(
             self._extractor, fake, fetch=not use_dev)
         if self._real_feats is None:
             # fixed key: the scoring reference set is identical across
-            # resumes (exact-resume extends to scheduler decisions)
-            self._real_feats = self._extractor(
-                self.source.batch(n, key=2**31 + 1))
+            # resumes (exact-resume extends to scheduler decisions);
+            # stays device-resident on an accelerator (no fetch +
+            # re-upload of the ~200 MB set)
+            self._real_feats = extract_features(
+                self._extractor, self.source.batch(n, key=2**31 + 1),
+                fetch=not use_dev)
             self._real_stats = None       # FID stats follow the set
         if (cfg.MMD_lr_scheduler and self._best_feats is None
                 and int(self.state.step) > 0):
@@ -187,7 +192,8 @@ class Trainer:
                     cfg, best_state,
                     jax.random.PRNGKey(cfg.random_seed
                                        + int(meta["best_step"])), n)
-                self._best_feats = self._extractor(best)
+                self._best_feats = extract_features(
+                    self._extractor, best, fetch=not use_dev)
                 self._best_kid = float(meta["best_kid"])
             elif best_state is not None:
                 # legacy best checkpoint without meta: we can't recover
@@ -197,7 +203,8 @@ class Trainer:
                 # and keep it as the comparison state
                 best = sample(
                     cfg, best_state, jax.random.PRNGKey(cfg.random_seed), n)
-                self._best_feats = self._extractor(best)
+                self._best_feats = extract_features(
+                    self._extractor, best, fetch=not use_dev)
                 self._best_kid = kid_from_features(
                     self._score_feats("real", self._real_feats),
                     self._score_feats("best", self._best_feats),
