@@ -46,13 +46,19 @@ class RandomConvFeatures:
     name = "random_conv"
 
     def __init__(self, feature_dim: int = 256, width: int = 64,
-                 seed: int = 1234, batch: int = 256):
+                 seed: int = 1234, batch: int = 256, mesh=None):
         self.feature_dim = feature_dim
         self.width = width
         self.batch = batch
         self._params: Optional[list] = None
         self._seed = seed
         self._apply = jax.jit(self._forward)
+        # optional data-parallel extraction (batch axis over the mesh;
+        # see InceptionV3.__init__ for rationale + parity test)
+        self._shard = None
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
 
     def _init(self, c_in: int):
         k = jax.random.PRNGKey(self._seed)
@@ -86,8 +92,14 @@ class RandomConvFeatures:
             images = np.asarray(images, np.float32)
         if self._params is None:
             self._init(images.shape[-1])
-        outs = [self._apply(self._params,
-                            jnp.asarray(images[i:i + self.batch], jnp.float32))
+
+        def _chunk(i):
+            c = jnp.asarray(images[i:i + self.batch], jnp.float32)
+            if self._shard is not None and len(c) % self._shard.mesh.size == 0:
+                c = jax.device_put(c, self._shard)  # ragged tail: unsharded
+            return c
+
+        outs = [self._apply(self._params, _chunk(i))
                 for i in range(0, len(images), self.batch)]
         if not fetch:
             return jnp.concatenate(outs).astype(jnp.float32)
@@ -114,7 +126,7 @@ class InceptionFeatures:
     feature_dim = 2048
 
     def __init__(self, weights_path: str, batch: int = 64,
-                 fid_semantics: Optional[bool] = None):
+                 fid_semantics: Optional[bool] = None, mesh=None):
         if not os.path.exists(weights_path):
             raise FileNotFoundError(
                 f"Inception weights not found at {weights_path}. This "
@@ -126,7 +138,7 @@ class InceptionFeatures:
         # fid_semantics None = auto-detect: 1008-way fc means the frozen
         # TF FID graph port (padding-excluded pools, Mixed_7c max pool)
         self._net = InceptionV3(load_params(weights_path), batch=batch,
-                                fid_semantics=fid_semantics)
+                                fid_semantics=fid_semantics, mesh=mesh)
         self.batch = batch
 
     @staticmethod
@@ -201,17 +213,20 @@ def find_inception_weights(data_dir: str = "./data") -> Optional[str]:
 def get_feature_extractor(data_dir: str = "./data",
                           prefer_inception: bool = True,
                           fid_semantics: Optional[bool] = None,
-                          ) -> FeatureExtractor:
+                          mesh=None) -> FeatureExtractor:
     """Inception if its weights asset exists, else the offline extractor.
 
     ``fid_semantics`` is forwarded to InceptionFeatures (None =
     auto-detect from the fc width) so callers like compute_scores.py's
-    default --extractor auto honor an explicit --fid_semantics."""
+    default --extractor auto honor an explicit --fid_semantics.
+    ``mesh`` shards the extraction batch axis over a device mesh
+    (data-parallel eval; single-device parity tested)."""
     path = find_inception_weights(data_dir)
     if prefer_inception and path is not None:
         try:
-            return InceptionFeatures(path, fid_semantics=fid_semantics)
+            return InceptionFeatures(path, fid_semantics=fid_semantics,
+                                     mesh=mesh)
         except Exception as e:          # corrupt/mismatched file, ...
             print(f"[smmdax.eval] Inception load failed ({e}); "
                   "falling back to RandomConvFeatures")
-    return RandomConvFeatures()
+    return RandomConvFeatures(mesh=mesh)

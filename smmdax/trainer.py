@@ -148,7 +148,10 @@ class Trainer:
         """FID/KID of generated samples vs the real source + LR decay."""
         cfg = self.cfg
         if self._extractor is None:
-            self._extractor = get_feature_extractor(cfg.data_dir)
+            # data-parallel extraction over the training mesh (the net
+            # is batch-parallel; GSPMD partitions the sweep)
+            self._extractor = get_feature_extractor(cfg.data_dir,
+                                                    mesh=self.mesh)
         # synthetic self-tests cap at 5000 samples; real datasets use the
         # configured count (the reference's 25k default)
         n = (min(cfg.no_of_samples, 5000) if cfg.dataset == "synthetic"

@@ -331,3 +331,17 @@ def test_fid_device_stats_near_singular_regime():
     fid_d = frechet_distance(*gaussian_stats(jnp.asarray(real)),
                              *gaussian_stats(jnp.asarray(fake)))
     assert fid_d == pytest.approx(fid_h, rel=1e-4)
+
+
+def test_random_conv_features_sharded_extraction_parity():
+    """Extraction with the batch axis sharded over the 8-device mesh
+    must equal single-device extraction (the net is batch-parallel;
+    GSPMD partitions the sweep). Includes a ragged tail chunk."""
+    from smmdax.eval.features import RandomConvFeatures
+    from smmdax.train import make_mesh
+
+    imgs = np.random.default_rng(1).uniform(-1, 1, (19, 16, 16, 3)).astype(np.float32)
+    f_single = RandomConvFeatures(feature_dim=32, width=8, batch=8)(imgs)
+    f_mesh = RandomConvFeatures(feature_dim=32, width=8, batch=8,
+                                mesh=make_mesh(8))(imgs)
+    np.testing.assert_allclose(f_mesh, f_single, rtol=1e-6, atol=1e-6)

@@ -388,3 +388,26 @@ def test_fetch_false_keeps_heads_on_device(tmp_path):
     assert isinstance(f_d, jax.Array) and isinstance(p_d, jax.Array)
     np.testing.assert_allclose(np.asarray(f_d), f_h, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(p_d), p_h, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_extraction_parity(tmp_path):
+    """Inception extraction with the batch axis sharded over the
+    8-device mesh equals single-device extraction (padded tail
+    included) — data-parallel eval is exact."""
+    from smmdax.eval.features import InceptionFeatures
+    from smmdax.train import make_mesh
+
+    path = tmp_path / "inception_v3.npz"
+    np.savez(path, **jinc.random_state_dict(seed=11))
+    imgs = np.random.default_rng(3).uniform(-1, 1, (11, 32, 32, 3)).astype(np.float32)
+
+    f1, p1 = InceptionFeatures(str(path), batch=8).features_and_probs(imgs)
+    ext = InceptionFeatures(str(path), batch=8, mesh=make_mesh(8))
+    f2, p2 = ext.features_and_probs(imgs)
+    np.testing.assert_allclose(f2, f1, rtol=1e-5, atol=1e-6)
+    # partitioned reductions reorder float adds; softmax renormalizes
+    # the tiny logit drift into ~1e-4 relative on near-zero probs
+    np.testing.assert_allclose(p2, p1, rtol=5e-4, atol=1e-7)
+
+    with pytest.raises(ValueError):     # batch must divide the mesh
+        InceptionFeatures(str(path), batch=6, mesh=make_mesh(8))

@@ -411,3 +411,20 @@ def test_tensorboard_writer_emits_event_files(tmp_path):
     for root, _, files in os.walk(cfg.log_dir):
         found += [f for f in files if "tfevents" in f]
     assert found, f"no event files under {cfg.log_dir}"
+
+
+def test_scoring_with_data_parallel_mesh(tmp_path):
+    """In-loop scoring composes with GSPMD data parallelism: the
+    extractor shards its batch axis over the training mesh
+    (single-device parity tested in test_eval/test_inception); FID and
+    KID come out finite and the run completes."""
+    cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
+               output_size=32, gf_dim=8, df_dim=8, batch_size=16,
+               num_data_shards=8, max_iteration=2, warmup_iterations=0,
+               start_dsteps=1, compute_scores=True, score_every=2,
+               no_of_samples=32, score_subset_size=16, score_subsets=2,
+               checkpoint_every=0, log_every=2)
+    t = Trainer(cfg)
+    t.train()
+    out = t._score(2)
+    assert np.isfinite(out["fid"]) and np.isfinite(out["kid"])
