@@ -203,7 +203,9 @@ def extract_with_probs(extractor: FeatureExtractor, images: Array,
 
 def find_inception_weights(data_dir: str = "./data") -> Optional[str]:
     """First existing Inception weight asset under data_dir, if any."""
-    for fname in ("inception_v3.pt", "inception_v3.pth", "inception_v3.npz"):
+    for fname in ("inception_v3.pt", "inception_v3.pth", "inception_v3.npz",
+                  "classify_image_graph_def.pb",     # the 2015 FID graph
+                  "inception_v3.pb"):
         path = os.path.join(data_dir, fname)
         if os.path.exists(path):
             return path

@@ -167,8 +167,16 @@ def convert_torchvision_state_dict(state: Mapping[str, np.ndarray]) -> dict:
 
 
 def load_params(weights_path: str) -> dict:
-    """Load a torchvision inception_v3 state dict (.pt/.pth via torch,
-    or .npz with the same key names) and convert it."""
+    """Load Inception weights and convert to folded-BN JAX params.
+
+    Accepts a torchvision inception_v3 state dict (.pt/.pth via torch,
+    or .npz with the same key names) or a frozen TF GraphDef (.pb —
+    the 2015 FID graph the reference's compute_scores.py downloads;
+    parsed+matched structurally by smmdax.eval.tf_graph, no TF
+    dependency)."""
+    if weights_path.endswith(".pb"):
+        from .tf_graph import convert_frozen_graph
+        return convert_frozen_graph(weights_path)
     if weights_path.endswith(".npz"):
         with np.load(weights_path) as z:
             state = {k: z[k] for k in z.files}

@@ -17,9 +17,12 @@ exist, and prints a PASS/BLOCKED report:
    reminds the operator of the VERIFY-ON-MOUNT protocol (re-derive the
    §2 inventory, swap the TF-parity oracle in tests/test_tf_parity.py
    for the real core/mmd.py, re-check flag names/constants).
-2. **Inception weights** — locates data_dir/inception_v3.{pt,pth,npz},
-   loads them through the JAX-native net, reports fc width and the
-   auto-detected FID-graph semantics, and smoke-extracts features.
+2. **Inception weights** — locates data_dir/inception_v3.{pt,pth,npz}
+   or a frozen TF GraphDef (classify_image_graph_def.pb — the asset the
+   reference's compute_scores.py actually downloads; converted by the
+   structural matcher in smmdax/eval/tf_graph.py), loads it through the
+   JAX-native net, reports fc width and the auto-detected FID-graph
+   semantics, and smoke-extracts features.
 3. **Real datasets** — per [SPEC] dataset, whether real assets resolve
    (vs the synthetic fallback).
 4. **Real-data FID/KID self-check** — with weights + a real dataset:
