@@ -131,8 +131,10 @@ class InceptionFeatures:
             raise FileNotFoundError(
                 f"Inception weights not found at {weights_path}. This "
                 "environment cannot download them; place a torchvision "
-                "inception_v3 state_dict (.pt) or equivalent .npz there to "
-                "enable Inception-based FID/KID/IS (scores fall back to "
+                "inception_v3 state_dict (.pt / equivalent .npz) or the "
+                "frozen TF FID graph (classify_image_graph_def.pb — the "
+                "reference pipeline's own asset) there to enable "
+                "Inception-based FID/KID/IS (scores fall back to "
                 "RandomConvFeatures otherwise).")
         from smmdax.eval.inception import InceptionV3, load_params
         # fid_semantics None = auto-detect: 1008-way fc means the frozen

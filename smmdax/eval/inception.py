@@ -176,7 +176,28 @@ def load_params(weights_path: str) -> dict:
     dependency)."""
     if weights_path.endswith(".pb"):
         from .tf_graph import convert_frozen_graph
-        return convert_frozen_graph(weights_path)
+        params, meta = convert_frozen_graph(weights_path, return_meta=True)
+        # fid_semantics is auto-detected downstream from the fc width
+        # (1008 = FID graph); cross-check that heuristic against the
+        # graph's ACTUAL pooling so a mismatch fails loudly instead of
+        # silently mis-pooling (InceptionV3.__init__ auto rule)
+        fid_auto = int(params["fc"]["w"].shape[1]) == 1008
+        pool_7c = meta.get("Mixed_7c_pool", "avg")
+        if fid_auto != (pool_7c == "max"):
+            raise ValueError(
+                f"{weights_path}: graph has a {pool_7c} pool in its last "
+                f"block but a {params['fc']['w'].shape[1]}-way fc — the "
+                "fc-width fid_semantics auto-detection would apply the "
+                "wrong pooling; construct InceptionV3/InceptionFeatures "
+                f"with fid_semantics={pool_7c == 'max'} explicitly")
+        if not fid_auto:
+            # any frozen TF graph excludes padded cells from SAME avg
+            # pools; fid_semantics=False reproduces torch's
+            # count_include_pad=True instead (border-pixel deltas only)
+            print(f"[smmdax.eval] {weights_path}: non-FID frozen graph; "
+                  "TF avg-pool padding semantics differ at the borders "
+                  "from the torchvision mode this will run in")
+        return params
     if weights_path.endswith(".npz"):
         with np.load(weights_path) as z:
             state = {k: z[k] for k in z.files}

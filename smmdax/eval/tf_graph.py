@@ -113,8 +113,11 @@ _DT_NUMPY = {1: np.float32, 2: np.float64, 3: np.int32, 9: np.int64,
              10: np.bool_}
 
 
-def _parse_tensor(buf: bytes) -> np.ndarray:
-    """TensorProto -> np.ndarray (dense numeric consts only)."""
+def _parse_tensor(buf: bytes) -> Optional[np.ndarray]:
+    """TensorProto -> np.ndarray, or None for payloads we don't model
+    (DT_STRING JPEG blobs etc. in the graph preamble — the real 2015
+    graph carries a DecodeJpeg/contents string Const; an unreadable
+    Const is only an error if the matcher actually needs its value)."""
     dtype_enum, shape, content = 1, [], b""
     float_vals: List[float] = []
     double_vals: List[float] = []
@@ -145,7 +148,7 @@ def _parse_tensor(buf: bytes) -> np.ndarray:
         elif field == 7:                     # int_val
             int_vals.extend(_signed(v) for v in _packed_varints(val, wt))
     if dtype_enum not in _DT_NUMPY:
-        raise ValueError(f"unsupported tensor dtype enum {dtype_enum}")
+        return None
     np_dtype = _DT_NUMPY[dtype_enum]
     n_elem = int(np.prod(shape)) if shape else 1
     if content:
@@ -157,7 +160,7 @@ def _parse_tensor(buf: bytes) -> np.ndarray:
         if arr.size == 1 and n_elem > 1:     # proto small-tensor broadcast
             arr = np.full(n_elem, arr.flat[0], np_dtype)
     if arr.size != n_elem:
-        raise ValueError(f"tensor payload {arr.size} != shape {shape}")
+        return None                          # mis-modeled payload: lazy error
     return arr.reshape(shape)
 
 
@@ -275,7 +278,12 @@ class _Graph:
         node = self.skip(ref)
         if node.op != "Const":
             raise ValueError(f"expected Const, got {node.op} {node.name!r}")
-        return node.attrs["value"].tensor
+        tensor = node.attrs["value"].tensor
+        if tensor is None:
+            raise ValueError(
+                f"Const {node.name!r} has a payload this reader does not "
+                "model (unsupported dtype or encoding)")
+        return tensor
 
     def concat_values(self, node: GraphDefNode) -> List[str]:
         # Concat: (concat_dim, values...); ConcatV2: (values..., axis)
@@ -482,9 +490,11 @@ def _names_d():
 
 
 def _names_e(prefix):
-    # the branch pool may be avg (torchvision semantics) or max (the
-    # FID graph's Mixed_7c) — both map to the same canonical name; the
-    # runtime fid_semantics flag selects which pool forward() applies.
+    # the branch pool may be avg (torchvision semantics) or — in the
+    # LAST block only — max (the FID graph's Mixed_7c patch, the only
+    # max branch pool forward() can express); both map to the same
+    # canonical name, and parse_block records which kind the graph
+    # used so load_params can check it against the runtime semantics.
     d = {
         (("conv", (1, 1), (1, 1)),): [f"{prefix}.branch1x1"],
         (("conv", (1, 1), (1, 1)), "split"):
@@ -492,7 +502,8 @@ def _names_e(prefix):
         (("conv", (1, 1), (1, 1)), ("conv", (3, 3), (1, 1)), "split"):
             [f"{prefix}.branch3x3dbl_1", f"{prefix}.branch3x3dbl_2", "SPLIT"],
     }
-    for pool in ("avg", "max"):
+    pools = ("avg", "max") if prefix == "Mixed_7c" else ("avg",)
+    for pool in pools:
         d[(("pool", pool), ("conv", (1, 1), (1, 1)))] = \
             [None, f"{prefix}.branch_pool"]
     return d
@@ -527,12 +538,29 @@ def _slot_of(sig: tuple, block_type: str) -> str:
     raise ValueError(block_type)
 
 
+def _check_pool(unit, where: str, kernel=(3, 3), stride=(1, 1),
+                padding="SAME", kind=None) -> None:
+    """Pools are parsed but not emitted, so forward() re-applies them
+    with hardcoded geometry — reject any graph whose pool geometry
+    differs (silent feature corruption otherwise)."""
+    if unit.kind != "pool":
+        raise ValueError(f"{where}: expected a pool, got {unit.kind}")
+    if unit.kernel != kernel or unit.stride != stride \
+            or unit.padding != padding:
+        raise ValueError(
+            f"{where}: pool geometry {unit.kernel}/{unit.stride}/"
+            f"{unit.padding} != expected {kernel}/{stride}/{padding}")
+    if kind is not None and unit.pool != kind:
+        raise ValueError(f"{where}: {unit.pool} pool, expected {kind}")
+
+
 class _Matcher:
     def __init__(self, g: _Graph):
         from .inception import conv_specs
         self.g = g
         self.specs = conv_specs()
         self.params: Dict[str, dict] = {}
+        self.meta: Dict[str, str] = {}       # e.g. Mixed_7c_pool: max|avg
 
     def _emit(self, name: str, unit: _ConvUnit,
               perm: Optional[np.ndarray]) -> None:
@@ -547,7 +575,10 @@ class _Matcher:
         if unit.stride != stride:
             raise ValueError(f"{name}: stride {unit.stride} != {stride}")
         want_pad = "VALID" if pad == (0, 0) else "SAME"
-        if unit.padding != want_pad:
+        # 1x1 convs pad nothing either way, and the 2015 graph's blocks
+        # were built under an arg_scope padding='SAME' — accept any
+        # declaration whose EFFECTIVE padding matches the spec
+        if unit.padding != want_pad and kernel != (1, 1):
             raise ValueError(f"{name}: padding {unit.padding} != {want_pad}")
         if name in self.params:
             raise ValueError(f"duplicate assignment of {name}")
@@ -590,7 +621,13 @@ class _Matcher:
                     f"{prefix}: unrecognized branch signature {sig}")
             names = names_by_sig[sig]
             slot = _slot_of(sig, block_type)
+            if slot == "branch_pool":
+                _check_pool(units[0], f"{prefix}.branch_pool")
+                if block_type == "e":
+                    self.meta[f"{prefix}_pool"] = units[0].pool
             if slot == "passthrough":        # B/D max-pool branch
+                _check_pool(units[0], f"{prefix}.passthrough",
+                            stride=(2, 2), padding="VALID", kind="max")
                 local, width = perm_in, width_in
             elif nested is None:
                 width = self._emit_chain(names, units, perm_in)
@@ -700,11 +737,17 @@ _STEM_NAMES = ["Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
                "Conv2d_3b_1x1", "Conv2d_4a_3x3"]
 
 
-def convert_frozen_graph(data) -> dict:
+def convert_frozen_graph(data, return_meta: bool = False):
     """Frozen Inception GraphDef (bytes or a .pb path) -> folded-BN
     torchvision-schema params (the same pytree
     :func:`inception.convert_torchvision_state_dict` produces, ready
-    for :class:`inception.InceptionV3` / ``InceptionFeatures``)."""
+    for :class:`inception.InceptionV3` / ``InceptionFeatures``).
+
+    ``return_meta=True`` additionally returns ground truth the params
+    alone cannot carry: the E-block branch-pool kinds the graph
+    actually used (``{"Mixed_7b_pool": "avg", "Mixed_7c_pool": "max"}``
+    for the real FID graph) — load_params checks these against the
+    runtime fid_semantics auto-detection."""
     import jax.numpy as jnp
     if isinstance(data, str):
         with open(data, "rb") as f:
@@ -727,6 +770,8 @@ def convert_frozen_graph(data) -> dict:
     kinds = [u.kind for u in stem_units]
     if kinds != ["conv", "conv", "conv", "pool", "conv", "conv", "pool"]:
         raise ValueError(f"unrecognized stem structure {kinds}")
+    for unit in (stem_units[3], stem_units[6]):
+        _check_pool(unit, "stem", stride=(2, 2), padding="VALID", kind="max")
     for name, unit in zip(_STEM_NAMES,
                           [u for u in stem_units if u.kind == "conv"]):
         matcher._emit(name, unit, None)
@@ -750,6 +795,10 @@ def convert_frozen_graph(data) -> dict:
                     break
                 if c.op in ("AvgPool", "Mean", "Reshape", "Squeeze",
                             "Identity"):
+                    if c.op == "AvgPool":    # pool_3: global 8x8 average
+                        _check_pool(_PoolUnit(c), "pool_3", kernel=(8, 8),
+                                    stride=(1, 1), padding="VALID",
+                                    kind="avg")
                     nxt.append(c.name)
             if matmul is not None:
                 break
@@ -778,4 +827,6 @@ def convert_frozen_graph(data) -> dict:
     params = {name: {"w": jnp.asarray(v["w"]), "b": jnp.asarray(v["b"])}
               for name, v in matcher.params.items()}
     params["fc"] = {"w": jnp.asarray(fc_w), "b": jnp.asarray(fc_b)}
+    if return_meta:
+        return params, dict(matcher.meta)
     return params

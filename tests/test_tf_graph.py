@@ -56,11 +56,15 @@ def _rand_weights(seed=0):
 
 
 def _conv(x, name, weights):
-    _, _, _, stride, pad = _SPECS[name]
+    _, _, k, stride, pad = _SPECS[name]
     wd = weights[name]
+    # declare SAME on 1x1 convs (functionally identical to VALID) the
+    # way the 2015 graph's arg_scope(padding='SAME') blocks do — the
+    # matcher must accept any declaration whose EFFECTIVE pad matches
+    pad_str = "SAME" if (pad != (0, 0) or k == (1, 1)) else "VALID"
     y = tf.nn.conv2d(x, tf.constant(wd["w"]),
                      strides=[1, stride[0], stride[1], 1],
-                     padding="VALID" if pad == (0, 0) else "SAME")
+                     padding=pad_str)
     y, _, _, _, _, _ = tf.raw_ops.FusedBatchNormV3(
         x=y, scale=tf.constant(wd["gamma"]), offset=tf.constant(wd["beta"]),
         mean=tf.constant(wd["mean"]), variance=tf.constant(wd["var"]),
@@ -147,6 +151,10 @@ def build_fid_graph(weights, orders=None):
     with g.as_default():
         raw = tf.compat.v1.placeholder(tf.float32, [None, 299, 299, 3],
                                        name="input_raw")
+        # the real graph's preamble carries consts the reader cannot
+        # model (DecodeJpeg/contents is DT_STRING) — tolerated unless
+        # the matcher actually needs their values
+        tf.constant("jpeg-bytes-placeholder", name="DecodeJpeg_contents")
         # the 2015 graph's internal normalization preamble
         x = tf.multiply(tf.subtract(raw, 128.0), 1.0 / 128.0)
         for name in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3"):
@@ -247,8 +255,14 @@ def test_convert_handles_permuted_branch_orders():
     w = _rand_weights(seed=1)
     orders = {
         "Mixed_5c": [2, 0, 3, 1],
+        # Mixed_5d/Mixed_6e permuted so the following REDUCTION blocks'
+        # pass-through max-pool branches receive a non-identity
+        # incoming layout (the only path where a permutation threads
+        # THROUGH a block instead of being absorbed by a conv)
+        "Mixed_5d": [1, 2, 3, 0],
         "Mixed_6a": [1, 2, 0],
         "Mixed_6d": [3, 1, 0, 2],
+        "Mixed_6e": [0, 3, 2, 1],
         "Mixed_7a": [2, 1, 0],
         "Mixed_7b": [1, 3, 0, 2],
         "Mixed_7b.split": [1, 0],
@@ -300,14 +314,28 @@ def test_equivalent_permuted_graph_converts_identically():
                                    rtol=1e-6, atol=1e-7, err_msg=name)
 
 
-def test_convert_bnwgn_form():
+@pytest.mark.parametrize("scale_after_norm", [True, False])
+def test_convert_bnwgn_form(scale_after_norm):
     """The 2015 graph's BatchNormWithGlobalNormalization form: rewrite
     the FusedBatchNormV3 nodes into BNWGN (inputs reordered, attrs
-    renamed) and require identical converted params."""
+    renamed) and require the converted params to equal the fused-form
+    conversion.  The real asset was exported with the ops.batch_norm
+    default scale_after_normalization=False (gamma ignored, treated as
+    ones) — both settings are covered."""
     w = _rand_weights(seed=2)
     g, *_ = build_fid_graph(w)
     gd = g.as_graph_def()
-    params_fused = convert_frozen_graph(gd.SerializeToString())
+    if scale_after_norm:
+        expected = convert_frozen_graph(gd.SerializeToString())
+    else:
+        # gamma is ignored by BNWGN when scale_after_normalization is
+        # off, so the expectation is the fused graph with gamma := 1
+        w1 = {k: dict(v) for k, v in w.items()}
+        for v in w1.values():
+            if "gamma" in v:
+                v["gamma"] = np.ones_like(v["gamma"])
+        g1, *_ = build_fid_graph(w1)
+        expected = convert_frozen_graph(g1.as_graph_def().SerializeToString())
 
     rewritten = tf.compat.v1.GraphDef()
     for node in gd.node:
@@ -321,17 +349,70 @@ def test_convert_bnwgn_form():
             new.input.extend([x_in, mean, var, offset, scale])
             new.attr["T"].type = tf.float32.as_datatype_enum
             new.attr["variance_epsilon"].f = BN_EPS
-            new.attr["scale_after_normalization"].b = True
+            new.attr["scale_after_normalization"].b = scale_after_norm
         else:
             new.CopyFrom(node)
     params_bnwgn = convert_frozen_graph(rewritten.SerializeToString())
-    for name in params_fused:
+    for name in expected:
         np.testing.assert_allclose(params_bnwgn[name]["w"],
-                                   params_fused[name]["w"],
+                                   expected[name]["w"],
                                    rtol=1e-6, atol=1e-7, err_msg=name)
         np.testing.assert_allclose(params_bnwgn[name]["b"],
-                                   params_fused[name]["b"],
+                                   expected[name]["b"],
                                    rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_bad_pool_geometry_rejected():
+    """Pools are re-applied by forward() with hardcoded geometry, so a
+    graph with different pool geometry must be REJECTED, not silently
+    converted (feature corruption otherwise)."""
+    w = _rand_weights(seed=4)
+    g, *_ = build_fid_graph(w)
+    gd = g.as_graph_def()
+    bad = tf.compat.v1.GraphDef()
+    for node in gd.node:
+        new = bad.node.add()
+        new.CopyFrom(node)
+        if node.op == "AvgPool" and list(node.attr["ksize"].list.i) == \
+                [1, 3, 3, 1]:
+            new.attr["ksize"].list.i[:] = [1, 5, 5, 1]
+    with pytest.raises(ValueError, match="pool geometry"):
+        convert_frozen_graph(bad.SerializeToString())
+
+
+def test_semantics_mismatch_rejected(tmp_path):
+    """A frozen graph whose last-block pool kind contradicts what the
+    fc-width fid_semantics auto-detection would choose must fail
+    loudly in load_params, not silently mis-pool."""
+    from smmdax.eval.inception import load_params
+
+    w = _rand_weights(seed=6)
+    # 1008-way fc (auto => fid_semantics=True => Mixed_7c max pool)
+    # but build the graph with an AVG pool in Mixed_7c
+    g = tf.Graph()
+    with g.as_default():
+        raw = tf.compat.v1.placeholder(tf.float32, [None, 299, 299, 3])
+        x = tf.multiply(tf.subtract(raw, 128.0), 1.0 / 128.0)
+        for name in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3"):
+            x = _conv(x, name, w)
+        x = tf.nn.max_pool2d(x, 3, 2, "VALID")
+        x = _conv(_conv(x, "Conv2d_3b_1x1", w), "Conv2d_4a_3x3", w)
+        x = tf.nn.max_pool2d(x, 3, 2, "VALID")
+        for p in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+            x = _block_a(x, p, w)
+        x = _block_b(x, w)
+        for p in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+            x = _block_c(x, p, w)
+        x = _block_d(x, w)
+        x = _block_e(x, "Mixed_7b", w, pool_max=False)
+        x = _block_e(x, "Mixed_7c", w, pool_max=False)   # avg, not max
+        pool3 = tf.reshape(tf.nn.avg_pool2d(x, 8, 1, "VALID"), [-1, 2048])
+        tf.nn.bias_add(tf.linalg.matmul(pool3, tf.constant(w["fc"]["w"])),
+                       tf.constant(w["fc"]["b"]))
+    pb = tmp_path / "odd.pb"
+    pb.write_bytes(g.as_graph_def().SerializeToString())
+    with pytest.raises(ValueError, match="fid_semantics"):
+        load_params(str(pb))
 
 
 def test_load_params_dispatches_pb(tmp_path):

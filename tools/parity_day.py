@@ -100,9 +100,12 @@ def check_inception_weights(data_dir: str) -> List[Status]:
     path = find_inception_weights(data_dir)
     if path is None:
         return [("inception-weights", "BLOCKED",
-                 f"no inception_v3.(pt|pth|npz) under {data_dir}; drop a "
-                 "torchvision inception_v3 state dict (or the FID-graph "
-                 "port as npz) there to enable real FID/KID/IS")]
+                 f"no inception_v3.(pt|pth|npz) or "
+                 f"classify_image_graph_def.pb under {data_dir}; drop a "
+                 "torchvision inception_v3 state dict OR the frozen TF "
+                 "FID graph itself (the file the reference's "
+                 "compute_scores.py downloads) there to enable real "
+                 "FID/KID/IS")]
     out: List[Status] = []
     try:
         from smmdax.eval.features import InceptionFeatures
