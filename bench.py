@@ -306,6 +306,31 @@ def _measure_device_resident(batch_size: int, k: int,
     return out
 
 
+def _measure_sampling(batch: int = 512, windows: int = 3) -> dict:
+    """Generator-serving throughput (reference call stack §3.3: load
+    ckpt -> batched G(z)): eval-mode sampling through the memoized
+    jitted apply — the inference path a deployed generator serves.
+    Timing materializes the produced device array (block_until_ready on
+    the output, no host fetch)."""
+    from smmdax.train import create_state, sample
+    cfg = _flagship_cfg(batch)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    t0 = time.time()
+    sample(cfg, state, jax.random.PRNGKey(1), batch).block_until_ready()
+    wu = time.time() - t0
+    n = batch * 4
+    ips = []
+    for i in range(windows):
+        t0 = time.time()
+        sample(cfg, state, jax.random.PRNGKey(2 + i), n).block_until_ready()
+        ips.append(n / (time.time() - t0))
+    med = statistics.median(ips)
+    print(f"# sampling B={batch} (warmup+compile {wu:.0f}s): "
+          f"{med:.0f} img/s (windows={['%.0f' % w for w in ips]})")
+    return {"images_per_sec": round(med, 2), "batch": batch,
+            "windows": [round(w, 1) for w in ips]}
+
+
 def main() -> None:
     from smmdax.train import enable_compilation_cache
     enable_compilation_cache()
@@ -352,6 +377,9 @@ def main() -> None:
     for b in BATCH_SWEEP:
         sweep_b[b] = _measure_on_device_sweep(b, best_k)
 
+    # --- generator-serving arm (inference-only sampling) --------------
+    sampling = _measure_sampling()
+
     ips = headline["images_per_sec"]
     vs = ips / BASELINE_IMAGES_PER_SEC if BASELINE_IMAGES_PER_SEC else 1.0
     result = {
@@ -371,6 +399,7 @@ def main() -> None:
         "batch_sweep": {str(b): {"images_per_sec": v["images_per_sec"],
                                  "mfu": v.get("mfu")}
                         for b, v in sweep_b.items()},
+        "sampling": sampling,
     }
     dev = jax.devices()[0]
     print(json.dumps(result))

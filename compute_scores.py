@@ -31,8 +31,20 @@ def _load(path: str) -> np.ndarray:
                        if f.lower().endswith((".png", ".jpg", ".jpeg")))
         if not files:
             raise FileNotFoundError(f"no images in {path}")
-        return np.stack([np.asarray(Image.open(f).convert("RGB"), np.float32)
-                         / 127.5 - 1.0 for f in files])
+        imgs = [Image.open(f).convert("RGB") for f in files]
+        sizes = {im.size for im in imgs}
+        if len(sizes) > 1:
+            # mixed resolutions: bilinear-resize everything to the
+            # modal size (the extractor resizes to its own input size
+            # anyway; this just makes the batch stackable)
+            from collections import Counter
+            target = Counter(im.size for im in imgs).most_common(1)[0][0]
+            print(f"[compute_scores] {path}: {len(sizes)} distinct "
+                  f"image sizes; resizing all to {target[0]}x{target[1]}")
+            imgs = [im if im.size == target
+                    else im.resize(target, Image.BILINEAR) for im in imgs]
+        return np.stack([np.asarray(im, np.float32) / 127.5 - 1.0
+                         for im in imgs])
     if path.endswith(".npz"):
         with np.load(path) as z:
             arr = z[list(z.keys())[0]]

@@ -75,8 +75,11 @@ class MetricWriter:
                **{k: float(v) for k, v in metrics.items()}}
         self._fh.write(json.dumps(rec) + "\n")
         if self.also_stdout:
-            body = " ".join(f"{k}={v:.5g}" for k, v in rec.items()
-                            if k not in ("time",))
+            # ints (step, counters) print as ints — "%.5g" turns step
+            # 113000 into 1.13e+05 on long runs
+            body = " ".join(
+                f"{k}={v}" if isinstance(v, int) else f"{k}={v:.5g}"
+                for k, v in rec.items() if k not in ("time",))
             print(f"[smmdax] {body}", flush=True)
         if self._tb is not None:
             import tensorflow as tf

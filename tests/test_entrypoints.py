@@ -69,6 +69,23 @@ def test_compute_scores_cli(tmp_path):
     assert "FID:" in out.stdout and "KID:" in out.stdout
 
 
+def test_compute_scores_loads_mixed_size_image_dir(tmp_path):
+    """Directories with heterogeneous image resolutions must load (the
+    reference pipeline scored arbitrary-size samples; the extractor
+    resizes anyway) — everything is resized to the modal size."""
+    from PIL import Image
+
+    import compute_scores
+
+    rng = np.random.default_rng(3)
+    for i, hw in enumerate([(16, 16), (16, 16), (24, 20)]):
+        arr = rng.integers(0, 255, (hw[0], hw[1], 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"im{i}.png")
+    imgs = compute_scores._load(str(tmp_path))
+    assert imgs.shape == (3, 16, 16, 3)
+    assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+
+
 def test_compute_scores_cli_relative_test(tmp_path):
     """--compare runs the Bounliphone three-sample test between two
     candidate sets (small p = first candidate significantly closer)."""
