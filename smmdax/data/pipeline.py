@@ -71,7 +71,12 @@ class ArraySource:
             flips = (rng.integers(0, 2, size=n).astype(np.uint8)
                      if self.flip else None)
             return gather_normalize(self.data, idx, flips)
-        return self.data[idx]
+        out = self.data[idx]
+        if self.flip:
+            m = rng.integers(0, 2, size=n).astype(bool)
+            out = out.copy()
+            out[m] = out[m][:, :, ::-1, :]
+        return out
 
     def batch_u8(self, n: int, key: Optional[int] = None) -> Array:
         """Raw uint8 batch for on-device normalization (uint8_transfer);
@@ -86,7 +91,11 @@ class ArraySource:
                 out = out.copy()
                 out[m] = out[m][:, :, ::-1, :]
             return out
-        return np.round((self.data[idx] + 1.0) * 127.5).astype(np.uint8)
+        out = np.round((self.data[idx] + 1.0) * 127.5).astype(np.uint8)
+        if self.flip:
+            m = rng.integers(0, 2, size=n).astype(bool)
+            out[m] = out[m][:, :, ::-1, :]
+        return out
 
 
 def _load_cifar10(data_dir: str) -> Optional[Array]:
@@ -128,7 +137,10 @@ def center_crop_resize(img, size: int, crop: Optional[int] = None):
     decoders and the packing tool so the decode math can't drift."""
     from PIL import Image
     w, h = img.size
-    c = min(w, h) if crop is None else crop
+    # clamp to the shortest side: PIL silently zero-pads out-of-bounds
+    # crop boxes, which would put black borders on every sample when
+    # images are smaller than the requested crop
+    c = min(w, h) if crop is None else min(crop, w, h)
     left, top = (w - c) // 2, (h - c) // 2
     img = img.crop((left, top, left + c, top + c))
     if size != c:
@@ -339,7 +351,13 @@ def make_dataset(cfg: Config) -> DataSource:
         root = os.path.join(cfg.data_dir, ds)
         if os.path.isdir(root):
             try:
-                return CelebASource(root, cfg.output_size, seed=cfg.random_seed)
+                # shortest-side crop (crop=None) for LSUN loose JPEGs —
+                # the LMDB/TFRecord/packed paths crop the full shortest
+                # side, and the CelebA default (160) would train on a
+                # different image distribution for the same dataset
+                crop = None if ds == "lsun" else 160
+                return CelebASource(root, cfg.output_size,
+                                    seed=cfg.random_seed, crop=crop)
             except FileNotFoundError:
                 pass
     print(f"[smmdax.data] assets for {ds!r} not found under {cfg.data_dir}; "
@@ -377,6 +395,13 @@ def materialize_u8(source: DataSource, pool: int = 0) -> Optional[Array]:
     off the step range, so it is deterministic and disjoint from the
     step/scoring streams).  Returns None when neither is possible
     (float vector sources like the GaussianMix toy)."""
+    if getattr(source, "flip", False):
+        # the resident dataset is gathered in-program with no host-side
+        # transform hook — a silent flip drop would change the training
+        # distribution the caller asked for
+        raise ValueError("data_placement=device cannot honor flip "
+                         "augmentation (batches are gathered in-program "
+                         "from the resident pool); disable one of them")
     data = getattr(source, "data", None)
     if isinstance(data, np.ndarray) and data.ndim == 4:
         if data.dtype == np.uint8:

@@ -60,11 +60,26 @@ def gaussian_stats(feats: Array) -> Tuple[Array, Array]:
     return mu, sigma
 
 
+_ROOT_CACHE: dict = {}     # id(sigma) -> (sigma ref, sigma^(1/2))
+
+
 def _sqrt_eigvals_of_product(s1: Array, s2: Array, eps: float = 1e-10) -> Array:
-    """Eigenvalues of sqrtm(s1 @ s2) via the PSD-symmetrized form."""
-    w1, v1 = np.linalg.eigh(s1)
-    w1 = np.clip(w1, 0.0, None)
-    root1 = (v1 * np.sqrt(w1)) @ v1.T           # s1^(1/2)
+    """Eigenvalues of sqrtm(s1 @ s2) via the PSD-symmetrized form.
+
+    s1's root is cached (single slot, keyed on array identity with a
+    strong reference so ids can't be recycled): the trainer scores a
+    FIXED real set every event, and re-eigendecomposing the unchanging
+    2048x2048 real covariance was roughly half the per-event FID host
+    cost.  Callers must not mutate sigma in place."""
+    ent = _ROOT_CACHE.get(id(s1))
+    if ent is not None and ent[0] is s1:
+        root1 = ent[1]
+    else:
+        w1, v1 = np.linalg.eigh(s1)
+        w1 = np.clip(w1, 0.0, None)
+        root1 = (v1 * np.sqrt(w1)) @ v1.T       # s1^(1/2)
+        _ROOT_CACHE.clear()
+        _ROOT_CACHE[id(s1)] = (s1, root1)
     m = root1 @ s2 @ root1                       # PSD, similar to s1 s2
     w = np.linalg.eigvalsh(m)
     return np.sqrt(np.clip(w, 0.0, None))
@@ -328,15 +343,23 @@ def mmd_diff_var(k_yy: Array, k_zz: Array, k_xy: Array, k_xz: Array) -> float:
     m = k_xy.shape[0]
     n = k_yy.shape[0]
     r = k_zz.shape[0]
+    return _rel_finish(_rel_primitives(k_yy, k_zz, k_xy, k_xz), m, n, r)[1]
+
+
+def _rel_primitives(k_yy, k_zz, k_xy, k_xz) -> tuple:
+    """The 11 sufficient statistics of the Bounliphone test from the
+    four dense Gram blocks — ONE definition shared by mmd_diff_var and
+    the numpy subset arm so the statistic cannot drift between the
+    oracle and its callers (the device arm's _rel_scan mirrors this
+    tuple and is parity-tested against it)."""
     k_yy_nd = k_yy - np.diag(np.diagonal(k_yy))
     k_zz_nd = k_zz - np.diag(np.diagonal(k_zz))
     h = k_yy_nd - k_zz_nd - k_xy.T - k_xy + k_xz + k_xz.T
-    prim = (k_yy_nd.sum(), k_zz_nd.sum(), k_xy.sum(), k_xz.sum(),
+    return (k_yy_nd.sum(), k_zz_nd.sum(), k_xy.sum(), k_xz.sum(),
             k_yy_nd.sum(axis=0), k_zz_nd.sum(axis=0),
             k_xy.sum(axis=1), k_xz.sum(axis=1),
             k_xy.sum(axis=0), k_xz.sum(axis=0),
             (h ** 2).sum())
-    return _rel_finish(prim, m, n, r)[1]
 
 
 def _rel_finish(prim, m: int, n: int, r: int) -> Tuple[float, float]:
@@ -423,19 +446,9 @@ def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
             x = feats_ref[idx_x[i]]
             y = feats_a[idx_y[i]]
             z = feats_b[idx_z[i]]
-            k_yy = _poly_kernel(y, y)
-            k_zz = _poly_kernel(z, z)
-            k_xy = _poly_kernel(x, y)
-            k_xz = _poly_kernel(x, z)
-            k_yy_nd = k_yy - np.diag(np.diagonal(k_yy))
-            k_zz_nd = k_zz - np.diag(np.diagonal(k_zz))
-            h = k_yy_nd - k_zz_nd - k_xy.T - k_xy + k_xz + k_xz.T
-            stats.append(_rel_finish(
-                (k_yy_nd.sum(), k_zz_nd.sum(), k_xy.sum(), k_xz.sum(),
-                 k_yy_nd.sum(axis=0), k_zz_nd.sum(axis=0),
-                 k_xy.sum(axis=1), k_xz.sum(axis=1),
-                 k_xy.sum(axis=0), k_xz.sum(axis=0),
-                 (h ** 2).sum()), m, m, m))
+            stats.append(_rel_finish(_rel_primitives(
+                _poly_kernel(y, y), _poly_kernel(z, z),
+                _poly_kernel(x, y), _poly_kernel(x, z)), m, m, m))
 
     ps, ts = [], []
     # diff = MMD^2(X,Z) - MMD^2(X,Y): positive favors A (= Y, the

@@ -47,6 +47,12 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(cfg.checkpoint_dir, cfg.run_name()))
         restored = self.ckpt.restore(self.state)
+        # whether THIS process actually resumed — gates the scheduler's
+        # best-snapshot rebuild: a fresh run in a directory holding a
+        # stale best checkpoint (prior run crashed between a best-save
+        # and its first periodic save) must not adopt the dead run's
+        # best state (step>0 at scoring time cannot distinguish these)
+        self._resumed = restored is not None
         if restored is not None:
             self.state = restored
             print(f"[smmdax] resumed from step {int(self.state.step)}")
@@ -181,7 +187,7 @@ class Trainer:
                 fetch=not use_dev)
             self._real_stats = None       # FID stats follow the set
         if (cfg.MMD_lr_scheduler and self._best_feats is None
-                and int(self.state.step) > 0):
+                and self._resumed):
             # resumed run: rebuild the scheduler's best-snapshot state
             # from the persisted best checkpoint + sidecar meta.  The
             # best feats are re-derived with the SAME step-keyed RNG the
@@ -269,6 +275,16 @@ class Trainer:
                     out["three_sample_win"] = win
                     improved = win > 0.5
                 if improved:
+                    # the test just proved the current model is
+                    # significantly closer to real than the best
+                    # snapshot — promote it to BE the best (feats, kid,
+                    # checkpoint).  Resetting patience while keeping
+                    # the old snapshot would let a plateaued model
+                    # defer decay forever by beating an ever-staler
+                    # comparison target.
+                    self._best_feats, self._best_kid = fake_feats, kid
+                    self.ckpt.save_best(self.state, meta={
+                        "best_kid": float(kid), "best_step": int(step)})
                     self.state = self.state.replace(
                         sched_fails=jnp.zeros((), jnp.int32))
                     out["lr_decayed"] = 0.0
@@ -470,12 +486,18 @@ class Trainer:
             if cfg.profile_steps and step == cfg.profile_start:
                 jax.profiler.start_trace(
                     os.path.join(cfg.log_dir, "profile", cfg.run_name()))
+                self._trace_on = True
             self.state, metrics = (step_fn(self.state) if batch is None
                                    else step_fn(self.state, batch))
             step += k_eff
-            if cfg.profile_steps and step == cfg.profile_start + cfg.profile_steps:
+            if cfg.profile_steps and step == cfg.profile_start + cfg.profile_steps \
+                    and getattr(self, "_trace_on", False):
+                # the started-flag matters on resume: a checkpoint taken
+                # INSIDE the window restarts past profile_start, so the
+                # stop edge fires without a matching start_trace
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
+                self._trace_on = False
             timer.add(k_eff * (dsteps + cfg.gsteps) * cfg.real_batch_size)
 
             if cfg.lr_decay_steps and step % cfg.lr_decay_steps == 0:
@@ -483,7 +505,8 @@ class Trainer:
                     lr_d=self.state.lr_d * cfg.decay_rate,
                     lr_g=self.state.lr_g * cfg.decay_rate)
 
-            if step % cfg.log_every == 0 or step == cfg.max_iteration:
+            if (cfg.log_every and step % cfg.log_every == 0) \
+                    or step == cfg.max_iteration:
                 jax.block_until_ready(metrics)
                 m = {k: float(v) for k, v in metrics.items()}
                 m["images_per_sec"] = timer.rate()
@@ -505,7 +528,8 @@ class Trainer:
             if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
                 self.ckpt.save(step, jax.device_get(self.state))
 
-            if cfg.compute_scores and step % cfg.score_every == 0:
+            if cfg.compute_scores and cfg.score_every \
+                    and step % cfg.score_every == 0:
                 scores = self._score(step)
                 self.writer.write(step, scores)
 

@@ -83,3 +83,76 @@ def test_missing_assets_fall_back_to_synthetic(tmp_path):
     cfg = Config(dataset="cifar10", data_dir=str(tmp_path / "nothing"))
     src = make_dataset(cfg)
     assert src.batch(4, key=0).shape == (4, 32, 32, 3)  # synthetic substitute
+
+
+def test_center_crop_clamps_to_image(tmp_path):
+    """crop larger than the image must clamp to the shortest side —
+    PIL pads out-of-bounds crop boxes with black, which would silently
+    corrupt every sample from a small-image directory."""
+    from PIL import Image
+
+    from smmdax.data.pipeline import center_crop_resize
+
+    img = Image.fromarray(np.full((128, 128, 3), 200, np.uint8))
+    out = np.asarray(center_crop_resize(img, 64, crop=160))
+    assert out.shape == (64, 64, 3)
+    assert out.min() == 200                  # no black padding anywhere
+
+
+def test_array_source_flip_applies_on_every_path():
+    """flip=True must actually flip on the float batch(), the uint8
+    batch_u8() and the float-quantize batch_u8() paths (it silently
+    no-opped on the float paths)."""
+    from smmdax.data.pipeline import ArraySource
+
+    base = np.zeros((4, 8, 8, 3), np.float32)
+    base[:, :, 0, :] = 1.0                   # left column lit
+    src = ArraySource(base, seed=0, flip=True)
+    b = np.asarray(src.batch(64, key=1))
+    # with 64 draws, both orientations must appear
+    left = (b[:, :, 0, :] > 0.5).all(axis=(1, 2))
+    right = (b[:, :, -1, :] > 0.5).all(axis=(1, 2))
+    assert left.any() and right.any()
+    u = src.batch_u8(64, key=1)
+    lu = (u[:, :, 0, :] > 128).all(axis=(1, 2))
+    ru = (u[:, :, -1, :] > 128).all(axis=(1, 2))
+    assert lu.any() and ru.any()
+
+
+def test_materialize_u8_refuses_flip():
+    """data_placement=device gathers batches in-program with no host
+    transform hook — a flip-requesting source must fail loudly, not
+    silently drop the augmentation."""
+    import pytest
+
+    from smmdax.data.pipeline import ArraySource, materialize_u8
+
+    src = ArraySource(np.zeros((4, 8, 8, 3), np.uint8), flip=True)
+    with pytest.raises(ValueError, match="flip"):
+        materialize_u8(src)
+
+
+def test_lsun_loose_jpeg_fallback_uses_shortest_side_crop(tmp_path):
+    """The LSUN loose-JPEG fallback must crop the full shortest side
+    like the LMDB/TFRecord/packed LSUN paths, not CelebA's 160."""
+    from PIL import Image
+
+    from smmdax.configs import Config
+    from smmdax.data import make_dataset
+
+    root = tmp_path / "lsun"
+    root.mkdir()
+    # 256x256 with a bright frame at the 200px border: a 160-crop
+    # would cut the frame off, a shortest-side (256) crop keeps it
+    arr = np.zeros((256, 256, 3), np.uint8)
+    arr[28, :, :] = 255
+    for i in range(3):
+        Image.fromarray(arr).save(root / f"im{i}.webp.jpg")
+    cfg = Config(dataset="lsun", data_dir=str(tmp_path), output_size=64,
+                 batch_size=2)
+    src = make_dataset(cfg)
+    b = np.asarray(src.batch(2, key=0))
+    assert b.shape == (2, 64, 64, 3)
+    # the frame survived the crop (smeared by the 4x downsample but
+    # present; a CelebA-style 160 crop would cut it: max == -1 exactly)
+    assert b.max() > -0.9

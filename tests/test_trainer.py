@@ -428,3 +428,72 @@ def test_scoring_with_data_parallel_mesh(tmp_path):
     t.train()
     out = t._score(2)
     assert np.isfinite(out["fid"]) and np.isfinite(out["kid"])
+
+
+def test_fresh_run_ignores_stale_best_checkpoint(tmp_path):
+    """A fresh run in a checkpoint_dir holding only a dead run's BEST
+    checkpoint (prior crash between a best-save and the first periodic
+    save) must not adopt that stale best as its scheduler comparison
+    state — only an actually-resumed run rebuilds it."""
+    cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
+               output_size=32, gf_dim=8, df_dim=8, max_iteration=1,
+               compute_scores=True, score_every=1, no_of_samples=64,
+               score_subset_size=64, score_subsets=4,
+               MMD_lr_scheduler=True, checkpoint_every=0)
+    # dead run: wrote a best checkpoint at "step 2000", then crashed
+    # with NO periodic checkpoint
+    dead = Trainer(cfg)
+    dead.ckpt.save_best(dead.state.replace(step=2000),
+                        meta={"best_kid": 1e-9, "best_step": 2000})
+    del dead
+
+    t = Trainer(cfg)                        # fresh: restore() found no ckpt
+    assert not t._resumed
+    t.train()
+    # the fresh run's first scoring event must have installed ITS OWN
+    # best state, not compared against the dead run's kid=1e-9 bar
+    meta = t.ckpt.best_meta()
+    assert meta["best_step"] <= 1
+    assert np.isfinite(t._best_kid) and t._best_kid > 1e-9
+
+
+def test_improved_verdict_promotes_best_snapshot(tmp_path, monkeypatch):
+    """When the three-sample test says the current model is
+    significantly closer than the best snapshot, the current model
+    BECOMES the best — otherwise a plateaued model defers decay forever
+    against an ever-staler comparison target."""
+    import smmdax.trainer as trainer_mod
+
+    cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
+               output_size=32, gf_dim=8, df_dim=8, max_iteration=3,
+               compute_scores=True, score_every=1, no_of_samples=64,
+               score_subset_size=64, score_subsets=4,
+               MMD_lr_scheduler=True, checkpoint_every=0,
+               three_sample_test="pvalue", scheduler_patience=3)
+    t = Trainer(cfg)
+    # force the kid-comparison branch to lose and the significance test
+    # to WIN at every event after the first
+    monkeypatch.setattr(trainer_mod, "relative_mmd_test",
+                        lambda *a, **k: (0.0, 10.0))
+    calls = []
+    real_save_best = t.ckpt.save_best
+    monkeypatch.setattr(t.ckpt, "save_best",
+                        lambda state, meta: (calls.append(meta),
+                                             real_save_best(state, meta))[1])
+    monkeypatch.setattr(trainer_mod, "kid_from_features",
+                        lambda *a, **k: (0.5, 0.0))  # never beats best=0.5
+    t._best_kid = 0.0                       # pre-seed an unbeatable bar
+    t._best_feats = np.zeros((4, 8), np.float32)
+    scores = t._score(1)
+    assert scores["lr_decayed"] == 0.0
+    # the improved verdict refreshed the best snapshot
+    assert calls and calls[-1]["best_step"] == 1
+    assert t._best_kid == 0.5
+
+
+def test_log_every_zero_disables_logging(tmp_path):
+    """log_every=0 means disabled (like every other cadence), not
+    ZeroDivisionError."""
+    cfg = _cfg(str(tmp_path), log_every=0, max_iteration=4)
+    state = Trainer(cfg).train()
+    assert int(state.step) == 4
