@@ -30,6 +30,10 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True),
         )
         self._best_dir = os.path.join(directory, "best")
+        # ONE StandardCheckpointer reused by every save_best/restore_best:
+        # constructing one per call leaks its async machinery (threads)
+        # across the scheduler's many best-saves on long runs
+        self._best_ckptr = ocp.StandardCheckpointer()
 
     def save(self, step: int, state: TrainState, wait: bool = False) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
@@ -50,7 +54,7 @@ class CheckpointManager:
         """
         import json
         import shutil
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._best_ckptr
         path = os.path.join(self._best_dir, "state")
         path_new, path_old = path + ".new", path + ".old"
         if os.path.exists(path_old) and not os.path.exists(path):
@@ -110,11 +114,11 @@ class CheckpointManager:
         path = self._best_state_dir()
         if path is None:
             return None
-        return ocp.StandardCheckpointer().restore(
-            path, target=abstract_state)
+        return self._best_ckptr.restore(path, target=abstract_state)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 
     def close(self) -> None:
+        self._best_ckptr.close()
         self._mgr.close()

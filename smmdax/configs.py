@@ -291,6 +291,20 @@ class Config:
             raise ValueError("dp_mode must be gspmd or shard_map")
         if self.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
+        if self.dsteps < 1 or self.gsteps < 1 or self.start_dsteps < 1:
+            # zero-length scans fail at trace time with an opaque
+            # "need at least one array to stack"
+            raise ValueError("dsteps/gsteps/start_dsteps must be >= 1")
+        if not self.global_batch_mmd and (
+                self.model == "tmmd" or self.gradient_penalty > 0):
+            # critic_loss's tmmd branch and the witness GP always use
+            # the gathered global features — honoring the local-only
+            # estimator there would silently change the objective, so
+            # the combination is rejected instead
+            raise ValueError(
+                "global_batch_mmd=False is not supported with model="
+                "'tmmd' or gradient_penalty>0 (those paths compute the "
+                "global-batch estimator)")
         if self.three_sample_test not in ("pvalue", "vote"):
             raise ValueError("three_sample_test must be pvalue or vote")
         if self.on_device_data and self.dataset != "synthetic":

@@ -394,6 +394,12 @@ def generator_loss(cfg: Config, critic: Critic, real: Array, fake: Array,
     loss = mmd2_val
     sigma = jnp.float32(1.0)
     if cfg.with_scaling and scale_g_loss:
+        # sigma is stop-gradient'd (a pure step-size rescale for G) but
+        # still recomputed with the configured estimator so the g-step
+        # objective value matches the critic's scaled objective exactly
+        # — with estimator='exact' this costs dof_dim backward passes
+        # per g-step; the production config uses the one-backward
+        # hutchinson estimator, where the cost is negligible
         sigma = jax.lax.stop_gradient(
             _pmean(sobolev_scale(cfg, critic, real, rng), axis_name))
         loss = loss / sigma

@@ -383,9 +383,16 @@ def enable_compilation_cache(path: str = "~/.cache/smmdax_xla") -> None:
 
 
 def make_mesh(num_shards: int) -> Mesh:
-    devices = jax.devices()[:num_shards]
+    devices = jax.devices()
+    if len(devices) < num_shards:
+        # a silent [:num_shards] truncation would train at lower
+        # parallelism than configured with no error anywhere downstream
+        # (divisibility checks key on the actual mesh)
+        raise ValueError(
+            f"num_data_shards={num_shards} but only {len(devices)} "
+            f"devices are visible")
     import numpy as np
-    return Mesh(np.array(devices), ("data",))
+    return Mesh(np.array(devices[:num_shards]), ("data",))
 
 
 def _scan_dispatches(step, k: int):
@@ -427,6 +434,12 @@ def jit_train_step(cfg: Config, dsteps: int, gsteps: int,
     """
     k = steps_per_dispatch
     if mesh is None or len(mesh.devices.flat) == 1:
+        # pin the shard count to reality here too: a stale DP config
+        # (num_data_shards>1) on a single-device execution would
+        # otherwise make losses._pallas refuse the fused path even
+        # under use_pallas='on' (it never traces pallas_call where
+        # GSPMD might partition — but this program is single-device)
+        cfg = cfg.replace(num_data_shards=1)
         step = _scan_dispatches(build_train_step(cfg, dsteps, gsteps), k)
         return jax.jit(step, donate_argnums=(0,))
     # The execution context is THIS mesh, whatever cfg.num_data_shards
@@ -532,9 +545,10 @@ def jit_train_step_device_data(cfg: Config, dsteps: int, gsteps: int,
     Each macro-step gathers its (dsteps+gsteps, B) batch in-program by
     indices drawn from that step's ``state.rng`` (folded on a fixed
     tag, distinct from ``on_device_data``'s), so batches stay a pure
-    function of the checkpointed RNG chain: exact resume holds, and on
-    a single chip the stream is ``steps_per_dispatch``-invariant (the
-    fold happens INSIDE the scan body, per macro-step — both tested).
+    function of the checkpointed RNG chain: exact resume holds and the
+    stream is ``steps_per_dispatch``-invariant on every path (the fold
+    happens INSIDE the scan body, per macro-step, on single-chip and
+    mesh programs alike).
 
     vs the host pipeline: zero per-step host->device transfer.  That
     removes the tunneled link from the step wall-clock (BASELINE.md:
@@ -566,8 +580,13 @@ def jit_train_step_device_data(cfg: Config, dsteps: int, gsteps: int,
     nb = cfg.real_batch_size
 
     if mesh is not None and len(mesh.devices.flat) > 1:
+        # base = ONE macro-step; K>1 scans (gather + macro-step) below
+        # so the index fold uses each step's OWN state.rng — the data
+        # stream is a pure function of (seed, step), K-invariant, same
+        # as the single-chip path (it used to fold once per dispatch,
+        # making the stream depend on dispatch-boundary layout)
         base = jit_train_step(cfg, dsteps, gsteps, mesh=mesh, mode=mode,
-                              steps_per_dispatch=steps_per_dispatch)
+                              steps_per_dispatch=1)
         k = steps_per_dispatch
 
         if cfg.device_data_sharding == "sharded":
@@ -578,34 +597,39 @@ def jit_train_step_device_data(cfg: Config, dsteps: int, gsteps: int,
                     f"device_data_sharding=sharded needs real_batch_size "
                     f"divisible by the mesh ({nb} vs {n} shards)")
             nb_local = nb // n
-            local = ((per_step, nb_local) if k == 1
-                     else (k, per_step, nb_local))
-            out_spec = P(None, "data") if k == 1 else P(None, None, "data")
 
             def local_gather(rng, pool_shard):
                 r = jax.random.fold_in(
                     jax.random.fold_in(rng, 0x0DA7A0D1),
                     jax.lax.axis_index("data"))
-                idx = jax.random.randint(r, local, 0, pool_shard.shape[0])
+                idx = jax.random.randint(r, (per_step, nb_local), 0,
+                                         pool_shard.shape[0])
                 return pool_shard[idx]
 
             gathered = shard_map(local_gather, mesh=mesh,
                                  in_specs=(P(), P("data")),
-                                 out_specs=out_spec)
+                                 out_specs=P(None, "data"))
 
-            def sharded_step(state: TrainState, data: Array):
+            def gather_step(state: TrainState, data: Array):
+                if data.shape[0] % n:
+                    raise ValueError(
+                        f"device_data_sharding=sharded needs the pool "
+                        f"size divisible by the mesh ({data.shape[0]} "
+                        f"samples vs {n} shards)")
                 return base(state, gathered(state.rng, data))
-
-            return jax.jit(sharded_step, donate_argnums=(0,))
+        else:
+            def gather_step(state: TrainState, data: Array):
+                rng = jax.random.fold_in(state.rng, 0x0DA7A0D1)
+                idx = jax.random.randint(rng, (per_step, nb), 0,
+                                         data.shape[0])
+                return base(state, data[idx])
 
         def gather_multi(state: TrainState, data: Array):
-            # multi-device path draws the whole dispatch's indices from
-            # one fold (mirrors jit_train_step_on_device's mesh path;
-            # K>1 is therefore not bit-identical to K=1 here)
-            rng = jax.random.fold_in(state.rng, 0x0DA7A0D1)
-            full = ((per_step, nb) if k == 1 else (k, per_step, nb))
-            idx = jax.random.randint(rng, full, 0, data.shape[0])
-            return base(state, data[idx])
+            if k == 1:
+                return gather_step(state, data)
+            state, metrics = jax.lax.scan(
+                lambda s, _: gather_step(s, data), state, None, length=k)
+            return state, jax.tree.map(lambda x: x[-1], metrics)
 
         return jax.jit(gather_multi, donate_argnums=(0,))
 

@@ -270,3 +270,45 @@ def test_rss_watchdog_quiet_below_limit(tmp_path, monkeypatch):
     monkeypatch.setattr(t, "_reexec", lambda: calls.append(1))
     state = t.train()
     assert int(state.step) == 4 and not t._rss_tripped and not calls
+
+
+def test_device_data_mesh_stream_is_dispatch_invariant(tmp_path):
+    """On a mesh, the gather rng is folded per MACRO-STEP inside the
+    dispatch scan (it used to fold once per dispatch, making the data
+    stream depend on steps_per_dispatch and dispatch-boundary layout):
+    K=3 over the mesh must reproduce K=1 over the mesh bit-for-bit."""
+    import jax.numpy as jnp
+
+    from smmdax.train import (create_state, jit_train_step_device_data,
+                              make_mesh)
+
+    cfg = _cfg(str(tmp_path), batch_size=16, real_batch_size=16,
+               device_data_pool=64).replace(num_data_shards=8)
+    pool = jnp.asarray(np.random.default_rng(5).integers(
+        0, 256, (64, 32, 32, 3), np.uint8))
+    mesh = make_mesh(8)
+
+    s1 = create_state(cfg, jax.random.PRNGKey(0))
+    step_k1 = jit_train_step_device_data(cfg, 1, 1, mesh=mesh)
+    for _ in range(3):
+        s1, m1 = step_k1(s1, pool)
+
+    s3 = create_state(cfg, jax.random.PRNGKey(0))
+    step_k3 = jit_train_step_device_data(cfg, 1, 1, mesh=mesh,
+                                         steps_per_dispatch=3)
+    s3, m3 = step_k3(s3, pool)
+
+    assert int(s3.step) == int(s1.step)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_make_mesh_rejects_oversubscription():
+    """Requesting more shards than visible devices must raise, not
+    silently truncate to lower parallelism."""
+    import pytest
+
+    from smmdax.train import make_mesh
+
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(jax.device_count() + 1)
