@@ -315,10 +315,15 @@ def _measure_sampling(batch: int = 512, windows: int = 3) -> dict:
     from smmdax.train import create_state, sample
     cfg = _flagship_cfg(batch)
     state = create_state(cfg, jax.random.PRNGKey(0))
-    t0 = time.time()
-    sample(cfg, state, jax.random.PRNGKey(1), batch).block_until_ready()
-    wu = time.time() - t0
     n = batch * 4
+    # warm up with the SAME n as the timed windows: the generator apply
+    # is chunked at batch_size (shape-stable), but the final n-element
+    # concatenate is a distinct program per n — a batch-sized warmup
+    # left window 1 paying that compile over the remote-compile tunnel
+    # (the 4.1k/29.4k/27.1k window skew in BASELINE.md)
+    t0 = time.time()
+    sample(cfg, state, jax.random.PRNGKey(1), n).block_until_ready()
+    wu = time.time() - t0
     ips = []
     for i in range(windows):
         t0 = time.time()
