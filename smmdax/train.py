@@ -326,6 +326,15 @@ def macro_step_flops(cfg: Config, dsteps: int, gsteps: int) -> Optional[float]:
                            jax.random.PRNGKey(0))
     batch = jax.ShapeDtypeStruct(
         (dsteps + gsteps, cfg.real_batch_size) + cfg.image_shape, jnp.uint8)
+    return _ir_flops(unrolled, state, batch)
+
+
+def _ir_flops(fn, *abstract_args) -> Optional[float]:
+    """Pre-optimization FLOPs of ``fn(*abstract_args)`` from lowered-IR
+    cost analysis, cheapest source first; None if no source offers a
+    count.  See ``macro_step_flops`` for the accounting basis (and its
+    caveat: scan bodies are counted ONCE — callers must pass
+    straight-line programs)."""
 
     def _flops_of(ca) -> Optional[float]:
         if isinstance(ca, (list, tuple)):          # older jax returns [dict]
@@ -342,7 +351,7 @@ def macro_step_flops(cfg: Config, dsteps: int, gsteps: int) -> Optional[float]:
     # counting is platform-agnostic (verified identical to the
     # compiled-TPU count on a matmul probe) and needs no compile.
     try:
-        flops = _flops_of(jax.jit(unrolled).lower(state, batch)
+        flops = _flops_of(jax.jit(fn).lower(*abstract_args)
                           .cost_analysis())
         if flops is not None:
             return flops
@@ -354,19 +363,42 @@ def macro_step_flops(cfg: Config, dsteps: int, gsteps: int) -> Optional[float]:
         # CPU cost analysis today (trace().lower(lowering_platforms=
         # ('cpu',)).cost_analysis() returns None — measured).  If a
         # jax upgrade removes the kwarg, we fall through LOUDLY below.
-        flops = _flops_of(jax.jit(unrolled, backend="cpu")
-                          .lower(state, batch).cost_analysis())
+        flops = _flops_of(jax.jit(fn, backend="cpu")
+                          .lower(*abstract_args).cost_analysis())
         if flops is not None:
             return flops
     except Exception as e:
-        print(f"# macro_step_flops: CPU-lowering fallback failed ({e!r:.120}); "
+        print(f"# _ir_flops: CPU-lowering fallback failed ({e!r:.120}); "
               "falling back to a FULL compile for cost analysis — "
               "minutes per config on a tunneled TPU")
     try:
-        return _flops_of(jax.jit(unrolled).lower(state, batch)
+        return _flops_of(jax.jit(fn).lower(*abstract_args)
                          .compile().cost_analysis())
     except Exception:
         return None
+
+
+def sample_flops(cfg: Config, n: int) -> Optional[float]:
+    """FLOPs of ``sample(cfg, state, rng, n)`` for generator-MFU
+    accounting.  The eval-mode generator apply is straight-line (no
+    scan), so unlike the train step no unrolling is needed: one
+    batch-sized chunk is analysed and multiplied by the number of
+    chunks ``sample`` dispatches (the trailing concat + slice are free
+    at cost-analysis precision)."""
+    cfg = cfg.replace(use_pallas="off")
+    gen, _ = build_models(cfg)
+    state = jax.eval_shape(lambda k: create_state(cfg, k),
+                           jax.random.PRNGKey(0))
+    z = jax.ShapeDtypeStruct((cfg.batch_size, cfg.z_dim), jnp.float32)
+
+    def gen_apply(g_params, g_batch_stats, zz):
+        return gen.apply({"params": g_params, "batch_stats": g_batch_stats},
+                         zz, train=False)
+
+    per_chunk = _ir_flops(gen_apply, state.g_params, state.g_batch_stats, z)
+    if per_chunk is None:
+        return None
+    return per_chunk * (-(-n // cfg.batch_size))
 
 
 def enable_compilation_cache(path: str = "~/.cache/smmdax_xla") -> None:
