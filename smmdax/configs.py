@@ -118,6 +118,18 @@ class Config:
     scheduler_p_threshold: float = 0.1   # pvalue arm: decay unless the test
                                          # rejects "no improvement" at this
                                          # level
+    scheduler_test_size: int = 5000      # pvalue arm: sample size m of the
+                                         # hypothesis test (clamped to the
+                                         # available features).  The default
+                                         # is ONE test at large m — the
+                                         # p-value is then exactly calibrated
+                                         # (H0 rejection rate == threshold;
+                                         # pinned by the calibration test) —
+                                         # and m=5000 costs ~nothing on the
+                                         # device scoring path
+    scheduler_test_subsets: int = 1      # >1: Fisher-combined subset tests
+                                         # (anti-conservative under subset
+                                         # overlap; see scores.fisher_combine)
     scheduler_patience: int = 3          # consecutive failed three-sample
                                          # tests before the LR decays (the
                                          # lineage's protocol decays after

