@@ -156,3 +156,35 @@ def test_lsun_loose_jpeg_fallback_uses_shortest_side_crop(tmp_path):
     # the frame survived the crop (smeared by the 4x downsample but
     # present; a CelebA-style 160 crop would cut it: max == -1 exactly)
     assert b.max() > -0.9
+
+
+def test_make_assets_tool_roundtrips_every_format(tmp_path):
+    """tools/make_assets.py (the dress-rehearsal asset synthesizer)
+    writes byte-format-exact stand-ins that every real loader reads
+    back — the same tool that built the production-volume assets for
+    the round-4 per-format throughput rows in BASELINE.md."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import make_assets
+
+    out = str(tmp_path)
+    make_assets.main(["--out", out, "--cifar_n", "50", "--celeba_n", "6",
+                      "--lsun_n", "8", "--imagenet_n", "20",
+                      "--mnist_n", "10"])
+
+    for ds, size, kw, n_expect in [
+            ("cifar10", 32, {}, 50),
+            ("celeba", 160, {}, None),
+            ("lsun", 64, {"lsun_category": "bedroom_train"}, None),
+            ("imagenet64", 64, {}, 20),
+            ("mnist", 28, {"c_dim": 1}, 10)]:
+        cfg = Config(dataset=ds, output_size=size, data_dir=out, **kw)
+        src = make_dataset(cfg)
+        assert type(src).__name__ != "SyntheticImages", ds
+        b = src.batch(4, key=0)
+        c = 1 if ds == "mnist" else 3
+        assert b.shape == (4, size, size, c), ds
+        assert b.min() >= -1.0 and b.max() <= 1.0, ds
+        data = getattr(src, "data", None)
+        if n_expect is not None and data is not None:
+            assert len(data) == n_expect, ds
