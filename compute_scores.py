@@ -132,14 +132,20 @@ def main(argv=None) -> None:
     if args.compare:
         from smmdax.eval.scores import relative_mmd_test
         fo = to_features(_load(args.compare))
-        p_val, t_stat = relative_mmd_test(
-            fr, ff, fo,
-            subset_size=min(args.subset_size, len(fr), len(ff), len(fo)),
-            n_subsets=args.n_subsets, seed=args.seed,
-            backend=args.score_backend)
+        kw = dict(subset_size=min(args.subset_size, len(fr), len(ff), len(fo)),
+                  n_subsets=args.n_subsets, seed=args.seed,
+                  backend=args.score_backend)
+        p_val, t_stat = relative_mmd_test(fr, ff, fo, **kw)
+        # the (Fisher-combined) p is one-sided: p ~ 1 means "no evidence
+        # FAKE is closer", NOT that COMPARE is — test that direction
+        # explicitly
+        p_rev, _ = relative_mmd_test(fr, fo, ff, **kw)
+        verdict = ("FAKE significantly closer" if p_val < 0.05
+                   else "COMPARE significantly closer" if p_rev < 0.05
+                   else "inconclusive")
         print(f"relative-MMD test (FAKE closer than COMPARE?): "
-              f"p={p_val:.4f} t={t_stat:.3f} "
-              f"({'FAKE significantly closer' if p_val < 0.05 else 'COMPARE significantly closer' if p_val > 0.95 else 'inconclusive'})")
+              f"p={p_val:.4f} t={t_stat:.3f} p_reverse={p_rev:.4f} "
+              f"({verdict})")
     print(f"(extractor: {used}, n_real={len(fr)}, n_fake={len(ff)})")
 
 
