@@ -167,6 +167,28 @@ def test_scheduler_pvalue_h0_calibration():
     assert abs(float(ps.mean()) - 0.5) < 0.07
 
 
+def test_vote_arm_h0_win_rate_is_half():
+    """The subset-vote fallback's null behavior: with both candidates
+    from the same (imperfect) model the expected win rate is 1/2, so
+    the `win > 0.5` improvement rule fires ~half the time under H0 —
+    a coin flip, which is why the calibrated pvalue arm is the
+    default.  This pins the symmetry (a biased vote would silently
+    skew every scheduler decision)."""
+    from smmdax.eval.scores import relative_similarity_test
+    rng = np.random.default_rng(11)
+    wins = []
+    for i in range(60):
+        ref = rng.standard_normal((120, 8))
+        a = rng.standard_normal((120, 8)) + 0.25
+        b = rng.standard_normal((120, 8)) + 0.25
+        wins.append(relative_similarity_test(ref, a, b, subset_size=120,
+                                             n_subsets=1, seed=i,
+                                             backend="numpy"))
+    rate = float(np.mean(wins))
+    # 60 Bernoulli(0.5) trials: 4 sd ~ 0.26
+    assert 0.24 < rate < 0.76, rate
+
+
 def test_fisher_subsets_reject_under_h1_not_h0():
     """The Fisher-combined multi-subset arm keeps direction and
     (documented anti-conservatively) bounded H0 behavior."""
