@@ -73,6 +73,10 @@ def main(argv=None) -> None:
     p.add_argument("--data_dir", default="./data")
     p.add_argument("--subset_size", type=int, default=1000)
     p.add_argument("--n_subsets", type=int, default=50)
+    p.add_argument("--compare_test_size", type=int, default=5000,
+                   help="sample size m of the single --compare "
+                        "relative-MMD hypothesis test (clamped to the "
+                        "available samples)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--score_backend", default="auto",
                    choices=("auto", "numpy", "jax"),
@@ -132,20 +136,21 @@ def main(argv=None) -> None:
     if args.compare:
         from smmdax.eval.scores import relative_mmd_test
         fo = to_features(_load(args.compare))
-        kw = dict(subset_size=min(args.subset_size, len(fr), len(ff), len(fo)),
-                  n_subsets=args.n_subsets, seed=args.seed,
-                  backend=args.score_backend)
-        p_val, t_stat = relative_mmd_test(fr, ff, fo, **kw)
-        # the (Fisher-combined) p is one-sided: p ~ 1 means "no evidence
-        # FAKE is closer", NOT that COMPARE is — test that direction
-        # explicitly
-        p_rev, _ = relative_mmd_test(fr, fo, ff, **kw)
+        # ONE large-m test (like the trainer's scheduler): the single
+        # asymptotic p-value is exactly calibrated, and its one-sided
+        # symmetry makes p > 0.95 precisely "COMPARE significantly
+        # closer at 0.05".  (Fisher-combining many overlapping subsets
+        # would be anti-conservative here — scores.fisher_combine docs.)
+        p_val, t_stat = relative_mmd_test(
+            fr, ff, fo,
+            subset_size=min(args.compare_test_size, len(fr), len(ff),
+                            len(fo)),
+            n_subsets=1, seed=args.seed, backend=args.score_backend)
         verdict = ("FAKE significantly closer" if p_val < 0.05
-                   else "COMPARE significantly closer" if p_rev < 0.05
+                   else "COMPARE significantly closer" if p_val > 0.95
                    else "inconclusive")
         print(f"relative-MMD test (FAKE closer than COMPARE?): "
-              f"p={p_val:.4f} t={t_stat:.3f} p_reverse={p_rev:.4f} "
-              f"({verdict})")
+              f"p={p_val:.4f} t={t_stat:.3f} ({verdict})")
     print(f"(extractor: {used}, n_real={len(fr)}, n_fake={len(ff)})")
 
 

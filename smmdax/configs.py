@@ -408,9 +408,17 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
-    ns = build_argparser().parse_args(argv)
-    kw = vars(ns)
+def config_from_namespace(ns: argparse.Namespace) -> Config:
+    """Config from a parsed namespace, ignoring any non-Config
+    attributes (so tools can extend build_argparser() with their own
+    flags and still build the Config here — one place owns the
+    list->tuple coercions)."""
+    names = {f.name for f in dataclasses.fields(Config)}
+    kw = {k: v for k, v in vars(ns).items() if k in names}
     kw["rbf_sigmas"] = tuple(kw["rbf_sigmas"])
     kw["rq_alphas"] = tuple(kw["rq_alphas"])
     return Config(**kw)
+
+
+def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
+    return config_from_namespace(build_argparser().parse_args(argv))

@@ -146,13 +146,23 @@ def test_device_data_batches_have_no_within_batch_duplicates():
     without replacement (per row; across-update recurrence stays
     allowed), deterministically from the RNG chain."""
     from smmdax.train import _batch_indices
-    idx = _batch_indices(jax.random.PRNGKey(3), pool_n=100,
+    # production branch (per_step*nb <= pool): ONE permutation sliced
+    # into disjoint rows — duplicate-free across the whole macro-step
+    idx = _batch_indices(jax.random.PRNGKey(3), pool_n=1000,
                          per_step=6, nb=64)
     assert idx.shape == (6, 64)
-    for row in np.asarray(idx):
+    flat = np.asarray(idx).ravel()
+    assert len(np.unique(flat)) == len(flat), "duplicate across macro-step"
+    assert flat.min() >= 0 and flat.max() < 1000
+    # fallback branch (macro-step larger than the pool): per-row draws,
+    # each row still duplicate-free
+    idx_f = _batch_indices(jax.random.PRNGKey(3), pool_n=100,
+                           per_step=6, nb=64)
+    assert idx_f.shape == (6, 64)
+    for row in np.asarray(idx_f):
         assert len(np.unique(row)) == len(row), "duplicate inside a batch"
     # deterministic per key
-    idx2 = _batch_indices(jax.random.PRNGKey(3), pool_n=100,
+    idx2 = _batch_indices(jax.random.PRNGKey(3), pool_n=1000,
                           per_step=6, nb=64)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
     # tiny pools (< batch) keep the with-replacement fallback

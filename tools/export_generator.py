@@ -26,7 +26,6 @@ Round-trip loading needs only jax:
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
 import sys
@@ -73,10 +72,8 @@ def load_generator(path: str):
 
 
 def main(argv=None) -> None:
-    import dataclasses
-
     from smmdax.checkpoint import CheckpointManager
-    from smmdax.configs import Config, build_argparser
+    from smmdax.configs import build_argparser, config_from_namespace
     from smmdax.train import create_state
 
     ap = build_argparser()          # the full training flag surface
@@ -88,10 +85,7 @@ def main(argv=None) -> None:
     ap.add_argument("--platforms", default="",
                     help="comma list, e.g. tpu,cpu (default: current backend)")
     args = ap.parse_args(argv)
-    kw = {f.name: getattr(args, f.name) for f in dataclasses.fields(Config)}
-    kw["rbf_sigmas"] = tuple(kw["rbf_sigmas"])
-    kw["rq_alphas"] = tuple(kw["rq_alphas"])
-    cfg = Config(**kw)
+    cfg = config_from_namespace(args)
 
     state = create_state(cfg, jax.random.PRNGKey(cfg.random_seed))
     step = None
