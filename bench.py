@@ -380,13 +380,6 @@ def main() -> None:
         "unit": "images/sec",
     }
 
-    def emit() -> None:
-        """Print the full result as ONE JSON line.  Called after every
-        completed arm: whether the driver parses the first or the last
-        JSON line, it sees a complete headline (``value`` is fixed by
-        arm 1 and later emissions only append fields)."""
-        print(json.dumps(result), flush=True)
-
     def budget_left() -> float:
         return BUDGET_S - (time.time() - t_all)
 
@@ -394,27 +387,36 @@ def main() -> None:
         if result.get("value"):
             result["skipped_arms"] = skipped + [
                 f"<signal {signum} mid-arm at {time.time() - t_all:.0f}s>"]
-            # leading newline: a signal can land mid-print, and the
-            # driver needs this JSON on a line of its own
-            print("\n" + json.dumps(result), flush=True)
+            # a signal can land mid-print; buffered print() here would
+            # raise "reentrant call" inside the io layer and skip the
+            # exit — write the line via async-signal-safe os.write,
+            # with a leading newline so the JSON owns its line
+            os.write(1, b"\n" + json.dumps(result).encode() + b"\n")
             os._exit(0)
         os._exit(3)
 
+    def arm_alarm() -> None:
+        """SIGALRM backstop for the OPTIONAL arms — armed only once the
+        headline JSON is already on the pipe, so the alarm can never
+        recreate the nothing-emitted failure it exists to prevent
+        (a cold required-arm compile can legitimately outlast a small
+        budget).  Until then the driver's own kill is no worse than an
+        early alarm."""
+        try:
+            if BUDGET_S >= 60:
+                signal.alarm(max(1, int(budget_left())))
+        except ValueError:
+            pass
+
     prev_handlers = {}
     try:  # main-thread only; harmless to skip under a test runner
-        # the alarm backstop arms only for real budgets: alarm(0) would
-        # CANCEL alarms for sub-second budgets, and sub-minute budgets
-        # (test/smoke use) would kill the required arm mid-compile —
-        # there the per-arm gating alone applies
-        if BUDGET_S >= 60:
-            for s in (signal.SIGALRM, signal.SIGTERM):
-                prev_handlers[s] = signal.signal(s, _bail)
-            signal.alarm(int(BUDGET_S))
+        for s in (signal.SIGALRM, signal.SIGTERM):
+            prev_handlers[s] = signal.signal(s, _bail)
     except ValueError:
         pass
 
     try:
-        _run_arms(result, skipped, budget_left)
+        _run_arms(result, skipped, budget_left, arm_alarm)
     finally:
         try:
             signal.alarm(0)
@@ -424,7 +426,7 @@ def main() -> None:
             pass
     result["skipped_arms"] = skipped
     result["total_bench_time_s"] = round(time.time() - t_all, 1)
-    emit()
+    _emit(result)
     dev = jax.devices()[0]
     print(f"# device={dev.device_kind} platform={dev.platform} "
           f"K={HEADLINE_K} total_bench_time={time.time() - t_all:.0f}s "
@@ -432,9 +434,18 @@ def main() -> None:
           flush=True)
 
 
-def _run_arms(result: dict, skipped: list, budget_left) -> None:
+def _emit(result: dict) -> None:
+    """Print the full result as ONE JSON line.  Called after every
+    completed arm: whether the driver parses the first or the last
+    JSON line, it sees a complete headline (``value`` is fixed by the
+    required arm and later emissions only append fields)."""
+    print(json.dumps(result), flush=True)
+
+
+def _run_arms(result: dict, skipped: list, budget_left,
+              arm_alarm=lambda: None) -> None:
     def emit() -> None:
-        print(json.dumps(result), flush=True)
+        _emit(result)
 
     # --- REQUIRED arm: device-resident flagship, B=64, K=4 ------------
     # One compile + one pool upload; the production data path for
@@ -456,6 +467,7 @@ def _run_arms(result: dict, skipped: list, budget_left) -> None:
                             if k in ("images_per_sec", "min", "max", "mfu")},
     })
     emit()  # the headline lands NOW — everything past here is optional
+    arm_alarm()  # budget backstop only guards the OPTIONAL arms
 
     # --- optional arms, budget-gated, cheapest/highest-value first ----
     # Cost estimates are worst-case cold compiles through the

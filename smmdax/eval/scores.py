@@ -469,6 +469,9 @@ def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
 
     The returned t is always the subset-mean of the t statistics.
     """
+    if combine not in ("fisher", "mean"):
+        # validate before any Gram work — the subsets cost O(n·m²)
+        raise ValueError(f"combine must be fisher or mean, got {combine!r}")
     m = min(subset_size, len(feats_ref), len(feats_a), len(feats_b))
     rng = np.random.default_rng(seed)
     idx_x, idx_y, idx_z = [], [], []
@@ -512,8 +515,6 @@ def relative_mmd_test(feats_ref: Array, feats_a: Array, feats_b: Array,
         ps.append(1.0 - _norm_cdf(t))
     if combine == "fisher" and len(ps) > 1:
         return fisher_combine(ps), float(np.mean(ts))
-    if combine not in ("fisher", "mean"):
-        raise ValueError(f"combine must be fisher or mean, got {combine!r}")
     return float(np.mean(ps)), float(np.mean(ts))
 
 

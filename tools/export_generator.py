@@ -84,6 +84,9 @@ def main(argv=None) -> None:
                          "of the latest checkpoint")
     ap.add_argument("--platforms", default="",
                     help="comma list, e.g. tpu,cpu (default: current backend)")
+    ap.add_argument("--allow_untrained", action="store_true",
+                    help="export from random init when no checkpoint "
+                         "directory exists (smoke/CI use only)")
     args = ap.parse_args(argv)
     cfg = config_from_namespace(args)
 
@@ -108,9 +111,17 @@ def main(argv=None) -> None:
             raise SystemExit(
                 f"[export] no checkpoint under {cfg.checkpoint_dir!r} "
                 "(pass a trained run's --checkpoint_dir)")
-    else:
-        print("[export] NOTE: no checkpoint_dir — exporting an "
+    elif args.allow_untrained:
+        print("[export] NOTE: --allow_untrained — exporting an "
               "UNTRAINED generator (smoke/CI use)")
+    else:
+        # a typo'd / unmounted path must never silently become a
+        # valid-looking artifact built from random weights
+        raise SystemExit(
+            f"[export] checkpoint directory not found: "
+            f"{cfg.checkpoint_dir!r} (nor a {cfg.run_name()!r} run dir "
+            "under it); pass a trained run's --checkpoint_dir, or "
+            "--allow_untrained for a smoke export")
 
     platforms = [p for p in args.platforms.split(",") if p]
     blob = export_generator(cfg, state, args.batch, platforms or None)
