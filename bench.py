@@ -28,9 +28,15 @@ was scoreboard-blank):
   ~30); each one appends fields and re-prints the full JSON line, so
   whether the driver parses the first or the last JSON line it gets
   a complete result.  Skipped arms are listed in ``skipped_arms``.
-* a SIGALRM at the budget (and a SIGTERM handler for the driver's
-  `timeout`) prints the current JSON and exits 0 — a hung compile can
-  no longer zero out the round.
+* signal contract (pinned by tests/test_bench_signals.py): once the
+  headline is out, the driver's SIGTERM or the SIGALRM budget
+  backstop writes one final complete JSON line (async-signal-safe)
+  and exits 0.  The alarm arms only AFTER the headline emission, so
+  it can never recreate the nothing-emitted failure it guards
+  against; a SIGTERM while the required arm is still compiling exits
+  3 with no JSON — nothing useful existed to emit (the driver's ~30
+  min budget dwarfs the required arm's ~6 min cold-cache cost,
+  BASELINE.md r4 row).
 
 Robustness (VERDICT round-1 item 2): the tunneled link has ±20%
 run-to-run variance, so the headline is the MEDIAN of ``N_WINDOWS``
@@ -414,6 +420,9 @@ def main() -> None:
             prev_handlers[s] = signal.signal(s, _bail)
     except ValueError:
         pass
+    # synchronization marker for subprocess tests: signals delivered
+    # after this line hit _bail, not the default disposition
+    print("# bench: signal handlers installed", flush=True)
 
     try:
         _run_arms(result, skipped, budget_left, arm_alarm)

@@ -47,7 +47,11 @@ def tiny_bench(monkeypatch):
 
 
 def _json_lines(out: str):
-    return [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    """Parse every JSON line in captured output (shared with
+    tests/test_bench_signals.py; stripped because the signal-time
+    ``_bail`` write prefixes a newline to own its line)."""
+    return [json.loads(l) for l in out.splitlines()
+            if l.strip().startswith("{")]
 
 
 def test_bench_main_emits_progressive_json(tiny_bench, capsys):

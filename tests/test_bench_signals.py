@@ -14,15 +14,29 @@ contract (SURVEY.md §7 driver-provability; VERDICT r3 item 1):
   nothing useful to emit.
 
 In-process tests can't exercise real delivery + process exit codes, so
-this drives bench.main() in a subprocess on the tiny config.
+this drives bench.main() in a subprocess on the tiny config.  Two
+robustness disciplines for the one-core host (CLAUDE.md: a TPU run
+sharing the core stretches timings ~3x):
+
+* signal delivery is synchronized on bench.main()'s "signal handlers
+  installed" marker line, never on a fixed sleep — the lazy
+  smmdax.train import before handler installation takes ~1.5 s idle
+  and multiples of that under load;
+* stdout is pumped by a reader thread into a queue so every read
+  honors its deadline — a silently wedged subprocess (readline blocks
+  forever) must fail the test, not hang the suite.
 """
 
 import json
 import os
+import queue
 import signal
 import subprocess
 import sys
+import threading
 import time
+
+from test_bench import _json_lines  # shared JSON-line parser
 
 _DRIVER = r"""
 import sys, time
@@ -47,11 +61,18 @@ if mode == "hang_optional":      # signal lands mid-OPTIONAL-arm
     bench._measure_sampling = lambda *a, **k: time.sleep(600)
 elif mode == "hang_required":    # signal lands mid-REQUIRED-arm
     bench._measure_device_resident = lambda *a, **k: time.sleep(600)
-print("DRIVER_READY", flush=True)
 bench.main()
 """
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_HANDLERS_MARKER = "signal handlers installed"
+
+
+def _pump(proc, q):
+    for line in iter(proc.stdout.readline, b""):
+        q.put(line.decode())
+    q.put(None)
 
 
 def _launch(mode, tmp_path):
@@ -59,46 +80,55 @@ def _launch(mode, tmp_path):
     script.write_text(_DRIVER.format(repo=_REPO))
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    return subprocess.Popen([sys.executable, str(script), mode],
+    proc = subprocess.Popen([sys.executable, str(script), mode],
                             stdout=subprocess.PIPE,
                             stderr=subprocess.DEVNULL,
                             env=env, cwd=_REPO)
+    q = queue.Queue()
+    threading.Thread(target=_pump, args=(proc, q), daemon=True).start()
+    return proc, q
 
 
-def _read_until(proc, predicate, timeout_s):
-    """Read stdout lines until predicate(lines) or timeout."""
+def _read_until(q, predicate, timeout_s):
+    """Consume pumped stdout lines until predicate(lines), EOF, or the
+    deadline — enforced even when the subprocess goes silent."""
     lines = []
     deadline = time.time() + timeout_s
-    while time.time() < deadline:
-        line = proc.stdout.readline().decode()
-        if line:
-            lines.append(line)
-            if predicate(lines):
-                return lines
-        elif proc.poll() is not None:
-            break
-    return lines
+    while True:
+        wait = deadline - time.time()
+        if wait <= 0:
+            return lines
+        try:
+            line = q.get(timeout=min(1.0, wait))
+        except queue.Empty:
+            continue
+        if line is None:  # EOF: subprocess exited
+            return lines
+        lines.append(line)
+        if predicate(lines):
+            return lines
 
 
-def _json_lines(lines):
-    return [json.loads(l) for l in lines if l.strip().startswith("{")]
+def _drain(q, timeout_s=60.0):
+    """Collect remaining output after the process exited."""
+    return _read_until(q, lambda ls: False, timeout_s)
 
 
 def test_sigterm_after_headline_emits_final_json_and_exits_zero(tmp_path):
-    proc = _launch("hang_optional", tmp_path)
+    proc, q = _launch("hang_optional", tmp_path)
     try:
-        lines = _read_until(proc, lambda ls: any(
-            l.strip().startswith("{") for l in ls), timeout_s=600)
-        assert _json_lines(lines), "headline never appeared"
+        lines = _read_until(q, lambda ls: bool(
+            _json_lines("".join(ls))), timeout_s=600)
+        assert _json_lines("".join(lines)), "headline never appeared"
         time.sleep(1.0)  # let it settle into the hanging optional arm
         proc.send_signal(signal.SIGTERM)
-        rest, _ = proc.communicate(timeout=60)
-        lines += rest.decode().splitlines()
+        proc.wait(timeout=60)
+        lines += _drain(q)
     finally:
         if proc.poll() is None:
             proc.kill()
     assert proc.returncode == 0
-    emitted = _json_lines(lines)
+    emitted = _json_lines("".join(lines))
     assert len(emitted) >= 2, "bail line missing after SIGTERM"
     last = emitted[-1]
     assert last["value"] == emitted[0]["value"] > 0
@@ -106,18 +136,21 @@ def test_sigterm_after_headline_emits_final_json_and_exits_zero(tmp_path):
 
 
 def test_sigterm_before_headline_exits_three_without_json(tmp_path):
-    proc = _launch("hang_required", tmp_path)
+    proc, q = _launch("hang_required", tmp_path)
     try:
+        # synchronize on handler installation (printed by bench.main()
+        # right after signal.signal) — a fixed sleep races the lazy
+        # smmdax.train import on a loaded host
         lines = _read_until(
-            proc, lambda ls: any("DRIVER_READY" in l for l in ls),
-            timeout_s=120)
-        assert any("DRIVER_READY" in l for l in lines)
-        time.sleep(3.0)  # inside the hanging required arm
+            q, lambda ls: any(_HANDLERS_MARKER in l for l in ls),
+            timeout_s=600)
+        assert any(_HANDLERS_MARKER in l for l in lines)
+        time.sleep(0.5)  # usually inside the hanging required arm now
         proc.send_signal(signal.SIGTERM)
-        rest, _ = proc.communicate(timeout=60)
-        lines += rest.decode().splitlines()
+        proc.wait(timeout=60)
+        lines += _drain(q)
     finally:
         if proc.poll() is None:
             proc.kill()
     assert proc.returncode == 3
-    assert not _json_lines(lines), "nothing useful existed to emit"
+    assert not _json_lines("".join(lines)), "nothing useful existed to emit"

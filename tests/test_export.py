@@ -89,3 +89,27 @@ def test_export_cli_refuses_empty_checkpoint_dir(tmp_path):
                  "--gf_dim", "8", "--df_dim", "8", "--z_dim", "8",
                  "--checkpoint_dir", empty,
                  "--out", str(tmp_path / "x.shlo")])
+
+
+def test_export_cli_refuses_missing_checkpoint_dir(tmp_path):
+    """A typo'd --checkpoint_dir must be fatal, never a silent export
+    of random weights masquerading as a trained artifact."""
+    import export_generator as eg
+    with pytest.raises(SystemExit, match="not found"):
+        eg.main(["--architecture", "dcgan", "--output_size", "32",
+                 "--gf_dim", "8", "--df_dim", "8", "--z_dim", "8",
+                 "--checkpoint_dir", str(tmp_path / "typo"),
+                 "--out", str(tmp_path / "x.shlo")])
+
+
+def test_export_cli_allow_untrained_escape_hatch(tmp_path, capsys):
+    import export_generator as eg
+    out = str(tmp_path / "smoke.shlo")
+    eg.main(["--architecture", "dcgan", "--output_size", "32",
+             "--batch_size", "8", "--real_batch_size", "8",
+             "--gf_dim", "8", "--df_dim", "8", "--dof_dim", "4",
+             "--z_dim", "8",
+             "--checkpoint_dir", str(tmp_path / "typo"),
+             "--allow_untrained", "--out", out, "--batch", "4"])
+    assert os.path.exists(out) and os.path.exists(out + ".json")
+    assert "UNTRAINED" in capsys.readouterr().out
