@@ -31,6 +31,7 @@ def tiny_bench(monkeypatch):
 
     monkeypatch.setattr(bench, "_flagship_cfg", _tiny)
     monkeypatch.setattr(bench, "HEADLINE_K", 2)
+    monkeypatch.setattr(bench, "HOST_K", 2)
     monkeypatch.setattr(bench, "HEADLINE_BATCH", 8)
     monkeypatch.setattr(bench, "POOL_SAMPLES", 64)
     monkeypatch.setattr(bench, "SAMPLING_BATCH", 8)

@@ -52,7 +52,8 @@ def _tiny(batch_size=8, k=1):
                   steps_per_dispatch=2)
 
 bench._flagship_cfg = _tiny
-bench.HEADLINE_K = 2; bench.HEADLINE_BATCH = 8; bench.POOL_SAMPLES = 64
+bench.HEADLINE_K = 2; bench.HOST_K = 2
+bench.HEADLINE_BATCH = 8; bench.POOL_SAMPLES = 64
 bench.SAMPLING_BATCH = 8; bench.DISPATCH_SWEEP = (); bench.BATCH_SWEEP = ()
 bench.N_WINDOWS = 2; bench.STEPS_PER_WINDOW = 2; bench.WARMUP_STEPS = 1
 bench.BUDGET_S = 10_000_000.0
