@@ -728,7 +728,9 @@ _SAMPLER_CACHE_MAX = 8    # bounded: a long sweep over many configs must
 def _cached_gen_batch(cfg: Config) -> Callable:
     """Memoized jitted eval-mode generator apply (LRU, bounded) — a
     fresh jit per call would retrace and recompile at every scoring /
-    visualization interval.  Shared by ``sample`` and ``interpolate``."""
+    visualization interval.  Used by ``interpolate`` (single batch, z
+    supplied by the caller); ``sample`` uses the fused whole-request
+    program below."""
     gen_batch = _SAMPLER_CACHE.pop(cfg, None)
     if gen_batch is not None:
         _SAMPLER_CACHE[cfg] = gen_batch          # re-insert: most recent
@@ -746,16 +748,54 @@ def _cached_gen_batch(cfg: Config) -> Callable:
     return gen_batch
 
 
+_SAMPLE_PROG_CACHE: Dict[tuple, Callable] = {}
+
+
+def _cached_sample_program(cfg: Config, n: int) -> Callable:
+    """Memoized jitted whole-request sampler: z generation + eval-mode
+    generator apply for ALL chunks of an n-image request fused into ONE
+    XLA program (lax.scan over batch-sized chunks, slice to n inside).
+    The earlier Python-loop form paid two dispatch latencies per chunk
+    plus a trailing concatenate, which on the tunneled platform measured
+    26.9k img/s vs 34.1k through the exported single-program serving
+    artifact at B=512 (BASELINE.md) — the gap was dispatch, not math.
+    Key sequence matches the loop form exactly (sequential
+    ``rng, zk = split(rng)`` per chunk), so outputs are unchanged."""
+    key = (cfg, n)
+    prog = _SAMPLE_PROG_CACHE.pop(key, None)
+    if prog is not None:
+        _SAMPLE_PROG_CACHE[key] = prog           # re-insert: most recent
+        return prog
+    gen, _ = build_models(cfg)
+    bs = cfg.batch_size
+    chunks = -(-n // bs)
+
+    @jax.jit
+    def prog(g_params, g_batch_stats, rng):
+        def one_chunk(r, _):
+            r, zk = jax.random.split(r)
+            z = jax.random.uniform(zk, (bs, cfg.z_dim),
+                                   minval=-1.0, maxval=1.0)
+            img = gen.apply({"params": g_params, "batch_stats":
+                             g_batch_stats}, z, train=False)
+            return r, img
+
+        if chunks == 1:
+            _, img = one_chunk(rng, None)
+            return img[:n]
+        _, imgs = jax.lax.scan(one_chunk, rng, None, length=chunks)
+        return imgs.reshape((chunks * bs,) + imgs.shape[2:])[:n]
+
+    _SAMPLE_PROG_CACHE[key] = prog
+    while len(_SAMPLE_PROG_CACHE) > _SAMPLER_CACHE_MAX:
+        _SAMPLE_PROG_CACHE.pop(next(iter(_SAMPLE_PROG_CACHE)))
+    return prog
+
+
 def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
     """Generate n images (eval mode: running BN averages)."""
-    gen_batch = _cached_gen_batch(cfg)
-    outs = []
-    bs = cfg.batch_size
-    for i in range(0, n, bs):
-        rng, zk = jax.random.split(rng)
-        z = jax.random.uniform(zk, (bs, cfg.z_dim), minval=-1.0, maxval=1.0)
-        outs.append(gen_batch(state.g_params, state.g_batch_stats, z))
-    return jnp.concatenate(outs)[:n]
+    prog = _cached_sample_program(cfg, n)
+    return prog(state.g_params, state.g_batch_stats, rng)
 
 
 def interpolate(cfg: Config, state: TrainState, rng: jax.Array,

@@ -174,6 +174,33 @@ def test_sample_shapes():
     assert float(jnp.max(jnp.abs(imgs))) <= 1.0 + 1e-6
 
 
+def test_sample_matches_chunked_loop():
+    """The fused single-program sampler (z-gen + apply scanned over
+    chunks in ONE dispatch) must reproduce the chunked Python loop it
+    replaced: same per-chunk key sequence, same chunk order, same
+    trailing slice — for n spanning several chunks and n not a chunk
+    multiple."""
+    from smmdax.train import _cached_gen_batch
+    cfg = _tiny_cfg()
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    gen_batch = _cached_gen_batch(cfg)
+    bs = cfg.batch_size
+    for n in (bs * 3, bs * 2 + 3):
+        rng = jax.random.PRNGKey(7)
+        outs = []
+        for _ in range(0, n, bs):
+            rng, zk = jax.random.split(rng)
+            z = jax.random.uniform(zk, (bs, cfg.z_dim),
+                                   minval=-1.0, maxval=1.0)
+            outs.append(gen_batch(state.g_params, state.g_batch_stats, z))
+        loop_form = jnp.concatenate(outs)[:n]
+        fused = sample(cfg, state, jax.random.PRNGKey(7), n)
+        assert fused.shape == loop_form.shape
+        np.testing.assert_allclose(np.asarray(fused),
+                                   np.asarray(loop_form),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_dynamic_lr_no_recompile():
     """Decaying state.lr_* must not trigger a recompile (KID scheduler)."""
     cfg = _tiny_cfg()
