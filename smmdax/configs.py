@@ -72,6 +72,14 @@ class Config:
     start_dsteps: int = 10          # extra critic warm-up updates for early steps
     warmup_iterations: int = 500    # steps using start_dsteps instead of dsteps
     max_iteration: int = 150_000
+    ema_decay: float = 0.0          # generator weight EMA (0 = off).  When
+                                    # >0 a shadow copy of g_params is kept,
+                                    # updated e <- d*e + (1-d)*p after every
+                                    # generator update, and USED for all
+                                    # eval-mode generation (scoring, sample
+                                    # grids, CLI sampling, serving export) —
+                                    # the standard GAN serving discipline;
+                                    # beyond-reference capability.
 
     # --- regularizers -----------------------------------------------------
     gradient_penalty: float = 0.0        # witness-gradient / WGAN-GP weight
@@ -317,6 +325,9 @@ class Config:
                 "global_batch_mmd=False is not supported with model="
                 "'tmmd' or gradient_penalty>0 (those paths compute the "
                 "global-batch estimator)")
+        if not (0.0 <= self.ema_decay < 1.0):
+            raise ValueError(
+                f"ema_decay must be in [0, 1), got {self.ema_decay}")
         if self.three_sample_test not in ("pvalue", "vote"):
             raise ValueError("three_sample_test must be pvalue or vote")
         if self.on_device_data and self.dataset != "synthetic":

@@ -57,6 +57,11 @@ class TrainState(struct.PyTreeNode):
                                       # sample tests (scheduler patience
                                       # state; in TrainState so resume
                                       # reproduces decay decisions exactly)
+    g_params_ema: Any = None          # EMA shadow of g_params when
+                                      # cfg.ema_decay > 0, else None (an
+                                      # empty pytree node: jit signatures,
+                                      # scan carries and orbax checkpoints
+                                      # are unchanged when EMA is off)
 
 
 def _adam(cfg: Config) -> optax.GradientTransformation:
@@ -93,6 +98,8 @@ def create_state(cfg: Config, rng: jax.Array) -> TrainState:
         lr_g=jnp.asarray(cfg.lr_g, jnp.float32),
         lr_d=jnp.asarray(cfg.lr_d, jnp.float32),
         sched_fails=jnp.zeros((), jnp.int32),
+        g_params_ema=(jax.tree.map(jnp.copy, g_params)
+                      if cfg.ema_decay > 0 else None),
     )
 
 
@@ -212,8 +219,17 @@ def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
     new_stats = _pmean_tree(new_stats, axis_name)
     g_params, g_opt_state = _apply_update(
         adam, grads, state.g_params, state.g_opt_state, state.lr_g)
+    g_params_ema = state.g_params_ema
+    if cfg.ema_decay > 0 and g_params_ema is not None:
+        # shadow update AFTER the optimizer step; elementwise on
+        # replicated values, so it stays replicated under every DP mode
+        # without a collective
+        d = cfg.ema_decay
+        g_params_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                    g_params_ema, g_params)
     return state.replace(g_params=g_params, g_opt_state=g_opt_state,
-                         g_batch_stats=new_stats), aux
+                         g_batch_stats=new_stats,
+                         g_params_ema=g_params_ema), aux
 
 
 # ---------------------------------------------------------------------------
@@ -792,10 +808,22 @@ def _cached_sample_program(cfg: Config, n: int) -> Callable:
     return prog
 
 
-def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int) -> Array:
-    """Generate n images (eval mode: running BN averages)."""
+def eval_g_params(state: TrainState):
+    """Generator params for eval-mode generation (scoring, sample grids,
+    serving export): the EMA shadow when one is tracked (cfg.ema_decay >
+    0), else the live params.  BN batch_stats always come from the live
+    generator — the standard EMA discipline (the shadow smooths weights,
+    not normalizer statistics)."""
+    return state.g_params if state.g_params_ema is None else state.g_params_ema
+
+
+def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int,
+           use_ema: bool = True) -> Array:
+    """Generate n images (eval mode: running BN averages; EMA weights
+    when tracked unless ``use_ema=False``)."""
     prog = _cached_sample_program(cfg, n)
-    return prog(state.g_params, state.g_batch_stats, rng)
+    params = eval_g_params(state) if use_ema else state.g_params
+    return prog(params, state.g_batch_stats, rng)
 
 
 def interpolate(cfg: Config, state: TrainState, rng: jax.Array,
@@ -812,4 +840,4 @@ def interpolate(cfg: Config, state: TrainState, rng: jax.Array,
     t = jnp.linspace(0.0, 1.0, cols)[None, :, None]       # (1, cols, 1)
     z = z0[:, None, :] * (1.0 - t) + z1[:, None, :] * t   # (rows, cols, z)
     z = z.reshape(rows * cols, cfg.z_dim)
-    return gen_batch(state.g_params, state.g_batch_stats, z)
+    return gen_batch(eval_g_params(state), state.g_batch_stats, z)

@@ -1,0 +1,167 @@
+"""Generator weight EMA (cfg.ema_decay > 0): shadow recurrence math,
+eval-path switching, K-dispatch invariance, exact checkpoint resume and
+DP replication.  Beyond-reference capability (standard GAN serving
+discipline: score/sample/export the smoothed weights, train the live
+ones); disabled by default so every reference-parity path is unchanged.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smmdax.checkpoint import CheckpointManager
+from smmdax.configs import Config
+from smmdax.data import make_dataset
+from smmdax.data.pipeline import macro_batches
+from smmdax.train import (TrainState, create_state, eval_g_params,
+                          jit_train_step, make_mesh, sample)
+
+
+def _tiny_cfg(**kw):
+    base = dict(model="mmd", kernel="rq", dataset="synthetic", batch_size=8,
+                output_size=32, gf_dim=8, df_dim=8, dof_dim=4, z_dim=8,
+                dsteps=1, gsteps=1, ema_decay=0.5)
+    base.update(kw)
+    return Config(**base)
+
+
+def _batches(cfg, n):
+    ds = make_dataset(cfg)
+    it = macro_batches(ds, cfg.dsteps + cfg.gsteps, cfg.batch_size)
+    return [jnp.asarray(next(it)) for _ in range(n)]
+
+
+def test_ema_off_by_default():
+    cfg = _tiny_cfg(ema_decay=0.0)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    assert state.g_params_ema is None
+    # eval params fall back to the live generator
+    assert eval_g_params(state) is state.g_params
+    # and the step runs exactly as before (no EMA leaves in the carry)
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    state, m = step(state, _batches(cfg, 1)[0])
+    assert state.g_params_ema is None
+    assert np.isfinite(float(m["d_loss_mmd2"]))
+
+
+def test_ema_recurrence_matches_manual():
+    """e_t = d*e_{t-1} + (1-d)*p_t with e_0 = p_0 (init copy), applied
+    once per generator update — replayed by hand from the live params
+    observed after each macro-step."""
+    cfg = _tiny_cfg(ema_decay=0.5)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    expected = jax.tree.map(np.asarray, state.g_params)  # e_0 = p_0
+    d = cfg.ema_decay
+    for batch in _batches(cfg, 3):
+        state, _ = step(state, batch)
+        p = jax.tree.map(np.asarray, state.g_params)
+        expected = jax.tree.map(lambda e, q: d * e + (1 - d) * q,
+                                expected, p)
+    got = jax.tree.map(np.asarray, state.g_params_ema)
+    for e, g in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(e, g, rtol=1e-5, atol=1e-6)
+    # the shadow trails the live params (it is not just a copy)
+    diffs = [float(np.abs(e - p).max()) for e, p in zip(
+        jax.tree.leaves(got), jax.tree.leaves(
+            jax.tree.map(np.asarray, state.g_params)))]
+    assert max(diffs) > 0
+
+
+def test_sample_uses_ema_weights():
+    cfg = _tiny_cfg(ema_decay=0.9)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    for batch in _batches(cfg, 2):
+        state, _ = step(state, batch)
+    rng = jax.random.PRNGKey(3)
+    ema_imgs = np.asarray(sample(cfg, state, rng, 8))
+    live_imgs = np.asarray(sample(cfg, state, rng, 8, use_ema=False))
+    # same rng, different weights -> different images
+    assert not np.allclose(ema_imgs, live_imgs)
+    # use_ema=True is exactly "live params swapped for the shadow"
+    swapped = state.replace(g_params=state.g_params_ema, g_params_ema=None)
+    np.testing.assert_array_equal(
+        ema_imgs, np.asarray(sample(cfg, swapped, rng, 8)))
+
+
+def test_ema_k_dispatch_invariance():
+    """steps_per_dispatch=2 produces the same shadow as two K=1 steps
+    (the EMA update rides the scanned macro-step body)."""
+    cfg = _tiny_cfg(ema_decay=0.5)
+    batches = _batches(cfg, 2)
+
+    s1 = create_state(cfg, jax.random.PRNGKey(0))
+    step1 = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    for b in batches:
+        s1, _ = step1(s1, b)
+
+    s2 = create_state(cfg, jax.random.PRNGKey(0))
+    step2 = jit_train_step(cfg, cfg.dsteps, cfg.gsteps, steps_per_dispatch=2)
+    s2, _ = step2(s2, jnp.stack(batches))
+
+    for a, b in zip(jax.tree.leaves(s1.g_params_ema),
+                    jax.tree.leaves(s2.g_params_ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    """The shadow is part of TrainState: save/restore preserves it
+    bit-for-bit, and a resumed step continues the recurrence exactly."""
+    cfg = _tiny_cfg(ema_decay=0.5)
+    batches = _batches(cfg, 2)
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    state, _ = step(state, batches[0])
+    mgr = CheckpointManager(os.path.join(str(tmp_path), "ck"))
+    mgr.save(1, state, wait=True)
+
+    abstract = create_state(cfg, jax.random.PRNGKey(0))
+    restored = mgr.restore(abstract)
+    mgr.close()
+    assert restored is not None
+    for a, b in zip(jax.tree.leaves(state.g_params_ema),
+                    jax.tree.leaves(restored.g_params_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cont, _ = step(restored, batches[1])
+    straight, _ = step(state, batches[1])
+    for a, b in zip(jax.tree.leaves(cont.g_params_ema),
+                    jax.tree.leaves(straight.g_params_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("mode", ["gspmd", "shard_map"])
+def test_ema_replicated_on_mesh(mode):
+    """One step on the 8-device mesh: the shadow equals the
+    single-device recurrence (elementwise update on replicated values
+    stays replicated; no collective needed)."""
+    cfg = _tiny_cfg(ema_decay=0.5, batch_size=16,
+                    use_ring_mmd=(mode == "shard_map"))
+    batch = _batches(cfg, 1)[0]
+
+    s_single = create_state(cfg, jax.random.PRNGKey(0))
+    step_s = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    s_single, _ = step_s(s_single, batch)
+
+    mesh = make_mesh(8)
+    cfg_m = cfg.replace(num_data_shards=8)
+    s_mesh = create_state(cfg_m, jax.random.PRNGKey(0))
+    step_m = jit_train_step(cfg_m, cfg_m.dsteps, cfg_m.gsteps, mesh=mesh,
+                            mode=mode)
+    s_mesh, _ = step_m(s_mesh, batch)
+
+    if mode == "gspmd":
+        # identical estimator -> identical shadow (f32 tolerance)
+        for a, b in zip(jax.tree.leaves(s_single.g_params_ema),
+                        jax.tree.leaves(s_mesh.g_params_ema)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+    # in both modes the shadow must be finite and actually updated
+    for leaf in jax.tree.leaves(s_mesh.g_params_ema):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -47,8 +47,10 @@ def export_generator(cfg, state, batch: int,
     from jax import export as jexport
 
     from smmdax.nn import build_models
+    from smmdax.train import eval_g_params
     gen, _ = build_models(cfg)
-    g_params = jax.device_get(state.g_params)
+    # serve the EMA shadow when the run tracked one (cfg.ema_decay > 0)
+    g_params = jax.device_get(eval_g_params(state))
     g_stats = jax.device_get(state.g_batch_stats)
 
     def serve(z):
