@@ -79,8 +79,10 @@ except Exception:
 # Our own round-1 TPU v5e measurement is the fixed baseline (no
 # published reference number exists on this metric — BASELINE.md).
 BASELINE_IMAGES_PER_SEC: float | None = 2369.78  # round-1, TPU v5e, 2026-08-16
-# Best prior driver-captured bench (BENCH_r02.json, host-fed arm).
-PREV_ROUND_IMAGES_PER_SEC: float | None = 10621.55
+# Best prior driver-captured bench (BENCH_r04.json, device-resident
+# K=16 headline) — VERDICT r4 weak #3: r4 compared against r2's
+# 10,621.55, overstating round-over-round progress.
+PREV_ROUND_IMAGES_PER_SEC: float | None = 14342.12
 
 HEADLINE_K = 16         # device-resident dispatch fusion: no per-dispatch
                         # transfer exists on this path, so larger K is pure
@@ -97,6 +99,14 @@ SAMPLING_BATCH = 512
 WARMUP_STEPS = 3
 N_WINDOWS = 5
 STEPS_PER_WINDOW = 64
+# Headline arm only: the driver's r4 windows spread ±12% (12.7-16.2k
+# over 5 windows of 4 dispatches) where the builder's same-code run
+# spread <1% — host/measurement noise, not program variance.  More,
+# shorter windows at the same total arm time harden the median
+# (VERDICT r4 weak #2): 9 windows x 2 dispatches (K=16: 32 macro-steps
+# per window) vs r4's 5 x 4.
+HEADLINE_WINDOWS = 9
+HEADLINE_STEPS_PER_WINDOW = 32
 DISPATCH_SWEEP = (1, 8)             # K=4 is the host-fed arm itself
 BATCH_SWEEP = (128, 256, 512)       # B=64 is the headline arm itself
 
@@ -314,17 +324,17 @@ def _measure_device_resident(batch_size: int, k: int,
         float(metrics["d_loss_mmd2"])
     wu = time.time() - t0
     per_step = cfg.dsteps + cfg.gsteps
-    n_disp = max(2, STEPS_PER_WINDOW // k)
+    n_disp = max(1, HEADLINE_STEPS_PER_WINDOW // k)
     # one un-timed settle window after the compile warmup (~1.5 s).
     # The first timed window still reads ~20% low even WITH this
     # (11.9k vs 16.4k warm, r4) — the dip is host/link noise at
     # measurement start, not program warmup — but the median headline
     # is immune and the settle window keeps the cheap cases tight
-    for _ in range(n_disp):
+    for _ in range(2 * n_disp):
         state, metrics = step(state, data)
     float(metrics["d_loss_mmd2"])
     ips = []
-    for _ in range(N_WINDOWS):
+    for _ in range(HEADLINE_WINDOWS):
         t0 = time.time()
         for _ in range(n_disp):
             state, metrics = step(state, data)
@@ -552,12 +562,17 @@ def _run_arms(result: dict, skipped: list, budget_left,
             result["dispatch_sweep"][str(k)] = v["images_per_sec"]
         return _f
 
-    run_arm("sampling", 300, _sampling)
-    run_arm("host_fed", 420, _host_fed)
+    # Estimates tightened per r4 actuals (VERDICT r4 weak #6: 480 s
+    # dispatch estimates left ~6 budget-minutes unused and skipped the
+    # sweep; the whole r4 run took 948.6 s with sampling + host_fed +
+    # three batch points fitting in ~580 s): worst-case cold compiles
+    # through the tunnel, minus the slack that never materialized.
+    run_arm("sampling", 240, _sampling)
+    run_arm("host_fed", 390, _host_fed)
     for b in BATCH_SWEEP:
-        run_arm(f"batch_sweep_B{b}", 360, _batch_point(b))
+        run_arm(f"batch_sweep_B{b}", 300, _batch_point(b))
     for k in DISPATCH_SWEEP:
-        run_arm(f"dispatch_sweep_K{k}", 480, _dispatch_point(k))
+        run_arm(f"dispatch_sweep_K{k}", 330, _dispatch_point(k))
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from smmdax.train import TrainState
@@ -101,20 +102,58 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    @staticmethod
+    def _restore_with_ema_migration(do_restore, abstract_state: TrainState
+                                    ) -> TrainState:
+        """Bridge TrainState pytree-structure changes from toggling
+        ``ema_decay`` across a resume (ADVICE r4): orbax restores by
+        structure, so a pre-EMA checkpoint into an EMA-enabled run (or
+        the reverse) fails with an opaque structure mismatch.
+
+        * EMA now ON, checkpoint has no shadow -> restore without the
+          shadow slot, then backfill ``e_0 = p_0`` from the restored
+          live params (exactly create_state's initialization, so the
+          recurrence restarts from the restored weights).
+        * EMA now OFF, checkpoint carries a shadow -> restore with a
+          shadow-shaped slot, then drop it (the live weights continue
+          training; the stale shadow is discarded, not served).
+        """
+        try:
+            return do_restore(abstract_state)
+        except Exception as exc:
+            if abstract_state.g_params_ema is not None:
+                narrowed = abstract_state.replace(g_params_ema=None)
+                try:
+                    out = do_restore(narrowed)
+                except Exception:
+                    raise exc  # original mismatch was not the EMA slot
+                return out.replace(
+                    g_params_ema=jax.tree.map(jnp.copy, out.g_params))
+            widened = abstract_state.replace(
+                g_params_ema=jax.tree.map(jnp.copy, abstract_state.g_params))
+            try:
+                out = do_restore(widened)
+            except Exception:
+                raise exc
+            return out.replace(g_params_ema=None)
+
     def restore(self, abstract_state: TrainState,
                 step: Optional[int] = None) -> Optional[TrainState]:
         """Restore latest (or a given step); None if nothing saved."""
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return None
-        return self._mgr.restore(step,
-                                 args=ocp.args.StandardRestore(abstract_state))
+        return self._restore_with_ema_migration(
+            lambda a: self._mgr.restore(step, args=ocp.args.StandardRestore(a)),
+            abstract_state)
 
     def restore_best(self, abstract_state: TrainState) -> Optional[TrainState]:
         path = self._best_state_dir()
         if path is None:
             return None
-        return self._best_ckptr.restore(path, target=abstract_state)
+        return self._restore_with_ema_migration(
+            lambda a: self._best_ckptr.restore(path, target=a),
+            abstract_state)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

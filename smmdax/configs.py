@@ -80,6 +80,15 @@ class Config:
                                     # grids, CLI sampling, serving export) —
                                     # the standard GAN serving discipline;
                                     # beyond-reference capability.
+    ema_eval_compare: bool = False  # with ema_decay > 0: every scoring
+                                    # event ALSO scores the live weights
+                                    # (fid_live/kid_live alongside the EMA
+                                    # fid/kid).  Training is identical with
+                                    # EMA on/off (the shadow is passive), so
+                                    # one run yields a PAIRED live-vs-EMA
+                                    # quality comparison — no second run, no
+                                    # seed noise.  Costs one extra sample+
+                                    # extract sweep per event; off by default.
 
     # --- regularizers -----------------------------------------------------
     gradient_penalty: float = 0.0        # witness-gradient / WGAN-GP weight

@@ -220,6 +220,17 @@ def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
     g_params, g_opt_state = _apply_update(
         adam, grads, state.g_params, state.g_opt_state, state.lr_g)
     g_params_ema = state.g_params_ema
+    if cfg.ema_decay > 0 and g_params_ema is None:
+        # trace-time guard (ADVICE r4): a silently skipped EMA update
+        # would serve LIVE weights from every eval path while the config
+        # promises smoothed ones — fail loudly instead.  States from
+        # create_state(cfg) always carry the shadow; a pre-EMA
+        # checkpoint is backfilled on restore (CheckpointManager).
+        raise ValueError(
+            f"cfg.ema_decay={cfg.ema_decay} but TrainState.g_params_ema "
+            "is None: the state was built or restored under a config "
+            "without EMA — rebuild via create_state(cfg, ...) or restore "
+            "through CheckpointManager (which backfills the shadow)")
     if cfg.ema_decay > 0 and g_params_ema is not None:
         # shadow update AFTER the optimizer step; elementwise on
         # replicated values, so it stays replicated under every DP mode
@@ -827,12 +838,14 @@ def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int,
 
 
 def interpolate(cfg: Config, state: TrainState, rng: jax.Array,
-                rows: int = 8, cols: int = 8) -> Array:
+                rows: int = 8, cols: int = 8, use_ema: bool = True) -> Array:
     """Latent interpolation grid (the reference lineage's visualize
     option): each row is a linear walk in z between two random
     endpoints, decoded in eval mode (through the same memoized jitted
     apply as ``sample`` — per-call unjitted applies were the one
-    device-touching path that skipped jit).  Returns (rows*cols, ...)."""
+    device-touching path that skipped jit).  EMA weights when tracked
+    unless ``use_ema=False`` (same escape hatch as ``sample``).
+    Returns (rows*cols, ...)."""
     gen_batch = _cached_gen_batch(cfg)
     k0, k1 = jax.random.split(rng)
     z0 = jax.random.uniform(k0, (rows, cfg.z_dim), minval=-1.0, maxval=1.0)
@@ -840,4 +853,5 @@ def interpolate(cfg: Config, state: TrainState, rng: jax.Array,
     t = jnp.linspace(0.0, 1.0, cols)[None, :, None]       # (1, cols, 1)
     z = z0[:, None, :] * (1.0 - t) + z1[:, None, :] * t   # (rows, cols, z)
     z = z.reshape(rows * cols, cfg.z_dim)
-    return gen_batch(eval_g_params(state), state.g_batch_stats, z)
+    params = eval_g_params(state) if use_ema else state.g_params
+    return gen_batch(params, state.g_batch_stats, z)

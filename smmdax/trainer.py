@@ -40,6 +40,17 @@ class Trainer:
             # numerics harness: the TPU analog of the reference's
             # tf.check_numerics guards (SURVEY.md §5)
             jax.config.update("jax_debug_nans", True)
+        if (cfg.with_scaling and cfg.scaling_grad_estimator == "exact"
+                and cfg.output_size >= 64):
+            # startup note, not an error (VERDICT r4 weak #5): exact-σ
+            # is the paper-faithful default, but its dof_dim backward
+            # passes cost ~6x step wall at 64px (BASELINE.md r4 LSUN
+            # rehearsal row: 740 img/s exact vs ~5k hutchinson); the
+            # unbiased one-probe estimator preserves training semantics
+            print("[smmdax] note: scaling_grad_estimator='exact' at "
+                  f"output_size={cfg.output_size} costs ~6x step time "
+                  "(measured, BASELINE.md); consider "
+                  "--scaling_grad_estimator hutchinson", flush=True)
         self.source = make_dataset(cfg)
         self.mesh = (make_mesh(cfg.num_data_shards)
                      if cfg.num_data_shards > 1 else None)
@@ -238,6 +249,23 @@ class Trainer:
             is_mean, is_std = inception_score(fake_probs)
             out["inception_score"] = is_mean
             out["inception_score_std"] = is_std
+        if cfg.ema_decay > 0 and cfg.ema_eval_compare:
+            # paired live-vs-EMA comparison from ONE run (the shadow is
+            # passive, so the training trajectory equals an EMA-off
+            # run's bit-for-bit): same step, same scoring RNG, same
+            # real set — the EMA benefit isolated from seed noise.
+            # The scheduler and best-tracking keep using the EMA (fid/
+            # kid) scores; these rows are evidence only.
+            fake_live = sample(cfg, self.state, rng, n, use_ema=False)
+            live_feats = extract_features(self._extractor, fake_live,
+                                          fetch=not use_dev)
+            out["fid_live"] = frechet_distance(*self._real_stats,
+                                               *gaussian_stats(live_feats))
+            out["kid_live"] = kid_from_features(
+                self._score_feats("real", self._real_feats),
+                self._score_feats("fake_live", live_feats),
+                subset_size=min(cfg.score_subset_size, n),
+                n_subsets=cfg.score_subsets)[0]
 
         if cfg.MMD_lr_scheduler:
             if self._best_feats is None or kid < self._best_kid:

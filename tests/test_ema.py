@@ -136,6 +136,91 @@ def test_ema_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_ema_missing_shadow_raises_at_trace():
+    """ADVICE r4: ema_decay > 0 with a shadowless state must fail
+    loudly at trace time, not silently serve live weights."""
+    cfg = _tiny_cfg(ema_decay=0.5)
+    state = create_state(cfg, jax.random.PRNGKey(0)).replace(
+        g_params_ema=None)  # e.g. built under a different cfg
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    with pytest.raises(ValueError, match="g_params_ema"):
+        step(state, _batches(cfg, 1)[0])
+
+
+def test_restore_pre_ema_checkpoint_backfills_shadow(tmp_path):
+    """ADVICE r4: toggling ema_decay ON across a resume — the old
+    no-EMA checkpoint restores with the shadow backfilled e_0 = p_0
+    (create_state's init), and the resumed step runs."""
+    cfg_off = _tiny_cfg(ema_decay=0.0)
+    state = create_state(cfg_off, jax.random.PRNGKey(0))
+    step_off = jit_train_step(cfg_off, cfg_off.dsteps, cfg_off.gsteps)
+    state, _ = step_off(state, _batches(cfg_off, 1)[0])
+    mgr = CheckpointManager(os.path.join(str(tmp_path), "ck"))
+    mgr.save(1, state, wait=True)
+    mgr.save_best(state)
+
+    cfg_on = _tiny_cfg(ema_decay=0.5)
+    abstract = create_state(cfg_on, jax.random.PRNGKey(0))
+    for restored in (mgr.restore(abstract), mgr.restore_best(abstract)):
+        assert restored is not None
+        assert restored.g_params_ema is not None
+        for p, e in zip(jax.tree.leaves(restored.g_params),
+                        jax.tree.leaves(restored.g_params_ema)):
+            np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
+    restored = mgr.restore(abstract)
+    mgr.close()
+    # live params survived the migration bit-for-bit
+    for a, b in zip(jax.tree.leaves(state.g_params),
+                    jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    step_on = jit_train_step(cfg_on, cfg_on.dsteps, cfg_on.gsteps)
+    cont, m = step_on(restored, _batches(cfg_on, 1)[0])
+    assert np.isfinite(float(m["d_loss_mmd2"]))
+    assert cont.g_params_ema is not None
+
+
+def test_restore_ema_checkpoint_into_no_ema_run_drops_shadow(tmp_path):
+    """The reverse toggle: an EMA checkpoint restores into a no-EMA
+    config with the stale shadow dropped, live weights intact."""
+    cfg_on = _tiny_cfg(ema_decay=0.5)
+    state = create_state(cfg_on, jax.random.PRNGKey(0))
+    step_on = jit_train_step(cfg_on, cfg_on.dsteps, cfg_on.gsteps)
+    state, _ = step_on(state, _batches(cfg_on, 1)[0])
+    mgr = CheckpointManager(os.path.join(str(tmp_path), "ck"))
+    mgr.save(1, state, wait=True)
+
+    cfg_off = _tiny_cfg(ema_decay=0.0)
+    abstract = create_state(cfg_off, jax.random.PRNGKey(0))
+    restored = mgr.restore(abstract)
+    mgr.close()
+    assert restored is not None
+    assert restored.g_params_ema is None
+    for a, b in zip(jax.tree.leaves(state.g_params),
+                    jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    step_off = jit_train_step(cfg_off, cfg_off.dsteps, cfg_off.gsteps)
+    _, m = step_off(restored, _batches(cfg_off, 1)[0])
+    assert np.isfinite(float(m["d_loss_mmd2"]))
+
+
+def test_interpolate_use_ema_escape_hatch():
+    """ADVICE r4: interpolate() honors use_ema like sample() does."""
+    from smmdax.train import interpolate
+    cfg = _tiny_cfg(ema_decay=0.9)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    for batch in _batches(cfg, 2):
+        state, _ = step(state, batch)
+    rng = jax.random.PRNGKey(7)
+    ema_grid = np.asarray(interpolate(cfg, state, rng, rows=2, cols=3))
+    live_grid = np.asarray(interpolate(cfg, state, rng, rows=2, cols=3,
+                                       use_ema=False))
+    assert not np.allclose(ema_grid, live_grid)
+    swapped = state.replace(g_params=state.g_params_ema, g_params_ema=None)
+    np.testing.assert_array_equal(
+        ema_grid, np.asarray(interpolate(cfg, swapped, rng, rows=2, cols=3)))
+
+
 @pytest.mark.parametrize("mode", ["gspmd", "shard_map"])
 def test_ema_replicated_on_mesh(mode):
     """One step on the 8-device mesh: the shadow equals the
@@ -156,12 +241,16 @@ def test_ema_replicated_on_mesh(mode):
                             mode=mode)
     s_mesh, _ = step_m(s_mesh, batch)
 
-    if mode == "gspmd":
-        # identical estimator -> identical shadow (f32 tolerance)
-        for a, b in zip(jax.tree.leaves(s_single.g_params_ema),
-                        jax.tree.leaves(s_mesh.g_params_ema)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-4, atol=2e-5)
-    # in both modes the shadow must be finite and actually updated
+    # gspmd: identical estimator -> identical shadow (f32 tolerance).
+    # shard_map rides the ring estimator, whose value/grad equal the
+    # dense oracle to f32 reduction tolerance (the repo invariant), so
+    # the shadow must match the single-device recurrence too — just
+    # with the looser ring tolerance (ADVICE r4: finite-only left
+    # cross-shard EMA replication untested in that mode).
+    tol = dict(rtol=2e-4, atol=2e-5) if mode == "gspmd" else \
+        dict(rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_single.g_params_ema),
+                    jax.tree.leaves(s_mesh.g_params_ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
     for leaf in jax.tree.leaves(s_mesh.g_params_ema):
         assert np.isfinite(np.asarray(leaf)).all()

@@ -130,6 +130,33 @@ def test_scoring_and_kid_scheduler(tmp_path):
     assert np.isfinite(t._best_kid)
 
 
+def test_ema_eval_compare_scores_live_and_shadow(tmp_path):
+    """cfg.ema_eval_compare: one run yields the PAIRED live-vs-EMA
+    quality rows (fid_live/kid_live alongside the EMA fid/kid) — the
+    shadow is passive, so this equals running the same seed twice with
+    ema_decay 0 / >0, at half the cost and zero seed noise."""
+    cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
+               output_size=32, gf_dim=8, df_dim=8, max_iteration=3,
+               compute_scores=True, score_every=0, no_of_samples=64,
+               score_subset_size=64, score_subsets=4, checkpoint_every=0,
+               ema_decay=0.5, ema_eval_compare=True)
+    t = Trainer(cfg)
+    t.train()
+    scores = t._score(int(t.state.step))
+    for k in ("fid", "kid", "fid_live", "kid_live"):
+        assert k in scores and np.isfinite(scores[k]), (k, scores)
+    # after a few updates the shadow trails the live weights, so the
+    # paired scores must actually differ (same rng, same real set)
+    assert scores["fid_live"] != scores["fid"]
+    # and the comparison arm is absent when not requested
+    cfg2 = cfg.replace(ema_eval_compare=False,
+                       checkpoint_dir=os.path.join(str(tmp_path), "ck2"))
+    t2 = Trainer(cfg2)
+    t2.train()
+    s2 = t2._score(int(t2.state.step))
+    assert "fid_live" not in s2 and "kid_live" not in s2
+
+
 def test_preemption_checkpoints_and_resumes(tmp_path):
     """SIGTERM mid-training -> graceful checkpoint; next run resumes."""
     import os
