@@ -39,6 +39,8 @@ def tiny_bench(monkeypatch):
     monkeypatch.setattr(bench, "BATCH_SWEEP", (8,))
     monkeypatch.setattr(bench, "N_WINDOWS", 2)
     monkeypatch.setattr(bench, "STEPS_PER_WINDOW", 4)
+    monkeypatch.setattr(bench, "HEADLINE_WINDOWS", 2)
+    monkeypatch.setattr(bench, "HEADLINE_STEPS_PER_WINDOW", 4)
     monkeypatch.setattr(bench, "WARMUP_STEPS", 1)
     # real wall-clock on a loaded shared core can exceed the default
     # 22-min budget (CLAUDE.md: ~3x slowdown when a TPU run shares the
