@@ -14,4 +14,7 @@ python main.py \
   `# ~30% faster (276.6 vs 358.5 ms/macro-step); set remat=true only` \
   `# if a bigger batch / witness-GP config OOMs` \
   --steps_per_dispatch 4 \
+  --ema_decay 0.9999 \
+  `# measured FID-stability win at matched steps (BASELINE.md r5 EMA` \
+  `# row); --ema_decay 0 serves live weights` \
   "$@"

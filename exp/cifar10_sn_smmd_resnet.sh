@@ -11,4 +11,9 @@ python main.py \
   --compute_scores true --score_every 2000 \
   --compute_dtype bfloat16 --scaling_grad_estimator hutchinson \
   --steps_per_dispatch 4 \
+  --ema_decay 0.9999 \
+  `# paired 150k-step measurement (BASELINE.md r5 EMA row): the EMA` \
+  `# shadow wins FID at 40/53 scoring events once warmed (median 0.56` \
+  `# vs 0.87) at zero best-point cost; pass --ema_decay 0 to serve` \
+  `# live weights` \
   "$@"

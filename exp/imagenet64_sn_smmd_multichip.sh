@@ -13,4 +13,7 @@ python main.py \
   --compute_scores true --score_every 5000 \
   --compute_dtype bfloat16 --scaling_grad_estimator hutchinson \
   --steps_per_dispatch 4 \
+  --ema_decay 0.9999 \
+  `# measured FID-stability win at matched steps (BASELINE.md r5 EMA` \
+  `# row); --ema_decay 0 serves live weights` \
   "$@"
