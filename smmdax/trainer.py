@@ -188,6 +188,12 @@ class Trainer:
         use_dev = use_device_scoring()
         fake_feats, fake_probs = extract_with_probs(
             self._extractor, fake, fetch=not use_dev)
+        # free the sample images the moment features exist: at 160px
+        # the n=25k f32 set is ~7.7 GB of HBM, and ema_eval_compare
+        # generates a SECOND set below — holding both OOMed a v5e
+        # (first 160px compare event, RESOURCE_EXHAUSTED); only the
+        # (n, d) features are needed from here on
+        del fake
         if self._real_feats is None:
             # fixed key: the scoring reference set is identical across
             # resumes (exact-resume extends to scheduler decisions);
@@ -259,6 +265,7 @@ class Trainer:
             fake_live = sample(cfg, self.state, rng, n, use_ema=False)
             live_feats = extract_features(self._extractor, fake_live,
                                           fetch=not use_dev)
+            del fake_live             # same ~GBs-at-160px lifetime issue
             out["fid_live"] = frechet_distance(*self._real_stats,
                                                *gaussian_stats(live_feats))
             out["kid_live"] = kid_from_features(
