@@ -161,6 +161,50 @@ class Trainer:
         self._dev_feats[name] = (feats, dev)
         return dev
 
+    # ceiling on the f32 image bytes a scoring generation may hold at
+    # once: n full-size samples never materialize together (25k at
+    # 160px is ~7.7 GB — a whole-set generation OOMed a 16 GB v5e at
+    # the first ema_eval_compare event; features are (n, d) and tiny)
+    SCORE_CHUNK_IMAGE_BYTES = 512 * 1024 * 1024
+
+    def _gen_feats(self, state, rng, n: int, use_ema: bool = True):
+        """Generate ``n`` eval-mode samples from ``state`` and return
+        (features, probs) without ever materializing the full image
+        set: generation is chunked so at most SCORE_CHUNK_IMAGE_BYTES
+        of images exist at a time, and each chunk's images are dropped
+        the moment its features are extracted.  When one chunk covers
+        ``n`` (every <=64px config at the reference scoring sizes) the
+        RNG stream and arithmetic are IDENTICAL to the historical
+        unchunked path; larger sets fold the chunk index into the key.
+        Both the original scoring pass and the resume-path best-feats
+        rebuild use this helper, so step-keyed determinism (exact
+        resume => bit-identical scheduler decisions) is preserved."""
+        cfg = self.cfg
+        from smmdax.eval.features import extract_with_probs
+        from smmdax.eval.scores import use_device_scoring
+        fetch = not use_device_scoring()
+        per_img = int(np.prod(cfg.image_shape)) * 4
+        chunk = max(cfg.batch_size,
+                    (self.SCORE_CHUNK_IMAGE_BYTES // per_img)
+                    // cfg.batch_size * cfg.batch_size)
+        if chunk >= n:
+            imgs = sample(cfg, state, rng, n, use_ema=use_ema)
+            feats, probs = extract_with_probs(self._extractor, imgs,
+                                              fetch=fetch)
+            return feats, probs
+        feats, probs = [], []
+        for ci, lo in enumerate(range(0, n, chunk)):
+            imgs = sample(cfg, state, jax.random.fold_in(rng, ci),
+                          min(chunk, n - lo), use_ema=use_ema)
+            f, p = extract_with_probs(self._extractor, imgs, fetch=fetch)
+            del imgs
+            feats.append(f)
+            if p is not None:
+                probs.append(p)
+        cat = (jnp.concatenate if isinstance(feats[0], jax.Array)
+               else np.concatenate)
+        return cat(feats), (cat(probs) if probs else None)
+
     def _score(self, step: int) -> Dict[str, float]:
         """FID/KID of generated samples vs the real source + LR decay."""
         cfg = self.cfg
@@ -174,26 +218,19 @@ class Trainer:
         n = (min(cfg.no_of_samples, 5000) if cfg.dataset == "synthetic"
              else cfg.no_of_samples)
         rng = jax.random.PRNGKey(cfg.random_seed + step)
-        # keep generated samples ON DEVICE: the extractor consumes them
-        # where they were made, and only (n, feature_dim) comes back to
-        # host — not the (n, H, W, C) images (61 MB/event at 5000x32^2
-        # over the tunneled link, twice: fetch + re-upload)
-        fake = sample(cfg, self.state, rng, n)
-        # one network sweep serves FID/KID (features) and IS (probs);
-        # on an accelerator the outputs stay device-resident — device
-        # FID stats / KID sweeps / IS consume them in place, and only
-        # sub-O(N) statistics ever cross the host link
-        from smmdax.eval.features import extract_features, extract_with_probs
+        # generated samples stay ON DEVICE and never materialize as a
+        # whole set (chunked generate->extract, _gen_feats): the
+        # extractor consumes each chunk where it was made, and only
+        # (n, feature_dim) comes back to host — not the (n, H, W, C)
+        # images (61 MB/event at 5000x32^2 over the tunneled link, or
+        # 7.7 GB of HBM at 25k x 160^2).  One network sweep serves
+        # FID/KID (features) and IS (probs); device FID stats / KID
+        # sweeps / IS consume the features in place, and only sub-O(N)
+        # statistics ever cross the host link
+        from smmdax.eval.features import extract_features
         from smmdax.eval.scores import use_device_scoring
         use_dev = use_device_scoring()
-        fake_feats, fake_probs = extract_with_probs(
-            self._extractor, fake, fetch=not use_dev)
-        # free the sample images the moment features exist: at 160px
-        # the n=25k f32 set is ~7.7 GB of HBM, and ema_eval_compare
-        # generates a SECOND set below — holding both OOMed a v5e
-        # (first 160px compare event, RESOURCE_EXHAUSTED); only the
-        # (n, d) features are needed from here on
-        del fake
+        fake_feats, fake_probs = self._gen_feats(self.state, rng, n)
         if self._real_feats is None:
             # fixed key: the scoring reference set is identical across
             # resumes (exact-resume extends to scheduler decisions);
@@ -214,12 +251,10 @@ class Trainer:
             best_state = self.ckpt.restore_best(self.state)
             meta = self.ckpt.best_meta()
             if best_state is not None and meta is not None:
-                best = sample(
-                    cfg, best_state,
+                self._best_feats, _ = self._gen_feats(
+                    best_state,
                     jax.random.PRNGKey(cfg.random_seed
                                        + int(meta["best_step"])), n)
-                self._best_feats = extract_features(
-                    self._extractor, best, fetch=not use_dev)
                 self._best_kid = float(meta["best_kid"])
             elif best_state is not None:
                 # legacy best checkpoint without meta: we can't recover
@@ -227,10 +262,8 @@ class Trainer:
                 # first post-resume score clobber a genuinely better
                 # snapshot — re-score the best snapshot now (fixed key)
                 # and keep it as the comparison state
-                best = sample(
-                    cfg, best_state, jax.random.PRNGKey(cfg.random_seed), n)
-                self._best_feats = extract_features(
-                    self._extractor, best, fetch=not use_dev)
+                self._best_feats, _ = self._gen_feats(
+                    best_state, jax.random.PRNGKey(cfg.random_seed), n)
                 self._best_kid = kid_from_features(
                     self._score_feats("real", self._real_feats),
                     self._score_feats("best", self._best_feats),
@@ -262,10 +295,8 @@ class Trainer:
             # real set — the EMA benefit isolated from seed noise.
             # The scheduler and best-tracking keep using the EMA (fid/
             # kid) scores; these rows are evidence only.
-            fake_live = sample(cfg, self.state, rng, n, use_ema=False)
-            live_feats = extract_features(self._extractor, fake_live,
-                                          fetch=not use_dev)
-            del fake_live             # same ~GBs-at-160px lifetime issue
+            live_feats, _ = self._gen_feats(self.state, rng, n,
+                                            use_ema=False)
             out["fid_live"] = frechet_distance(*self._real_stats,
                                                *gaussian_stats(live_feats))
             out["kid_live"] = kid_from_features(

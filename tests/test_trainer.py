@@ -117,6 +117,46 @@ def test_on_device_data_trains_and_resumes_exactly(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_gen_feats_chunked_matches_shape_and_is_deterministic(tmp_path):
+    """_gen_feats caps the image bytes materialized per scoring
+    generation (a whole 25k x 160px f32 set is ~7.7 GB and OOMed a
+    16 GB v5e at the first ema_eval_compare event).  The chunked path
+    must produce the full (n, d) feature set, deterministically in the
+    key, and single-chunk calls must equal the historical unchunked
+    sample->extract arithmetic exactly."""
+    from smmdax.eval.features import (extract_with_probs,
+                                      get_feature_extractor)
+    from smmdax.train import sample
+
+    cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
+               output_size=32, gf_dim=8, df_dim=8, max_iteration=1,
+               no_of_samples=64, checkpoint_every=0)
+    t = Trainer(cfg)
+    t.state = create_state(cfg, jax.random.PRNGKey(0))
+    t._extractor = get_feature_extractor(cfg.data_dir)
+    rng = jax.random.PRNGKey(42)
+
+    # force chunking: cap to one batch worth of images
+    t.SCORE_CHUNK_IMAGE_BYTES = (cfg.batch_size
+                                 * int(np.prod(cfg.image_shape)) * 4)
+    n = 3 * cfg.batch_size + 7          # non-multiple tail chunk
+    f1, _ = t._gen_feats(t.state, rng, n)
+    f2, _ = t._gen_feats(t.state, rng, n)
+    assert f1.shape[0] == n
+    assert np.all(np.isfinite(np.asarray(f1)))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    # a different key changes the set
+    f3, _ = t._gen_feats(t.state, jax.random.PRNGKey(43), n)
+    assert not np.allclose(np.asarray(f1), np.asarray(f3))
+
+    # single-chunk call == the historical unchunked path, bit for bit
+    t.SCORE_CHUNK_IMAGE_BYTES = Trainer.SCORE_CHUNK_IMAGE_BYTES
+    direct, _ = extract_with_probs(
+        t._extractor, sample(cfg, t.state, rng, cfg.batch_size))
+    helper, _ = t._gen_feats(t.state, rng, cfg.batch_size)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(helper))
+
+
 def test_scoring_and_kid_scheduler(tmp_path):
     cfg = _cfg(str(tmp_path), dataset="synthetic", architecture="dcgan",
                output_size=32, gf_dim=8, df_dim=8, max_iteration=2,
