@@ -129,8 +129,12 @@ class CheckpointManager:
                     raise exc  # original mismatch was not the EMA slot
                 return out.replace(
                     g_params_ema=jax.tree.map(jnp.copy, out.g_params))
+            # template only (the restored shadow is dropped below), so
+            # alias the live-params leaves instead of copying: works
+            # for concrete states AND abstract ShapeDtypeStruct trees
+            # (jnp.copy on the latter would raise here and mask `exc`)
             widened = abstract_state.replace(
-                g_params_ema=jax.tree.map(jnp.copy, abstract_state.g_params))
+                g_params_ema=abstract_state.g_params)
             try:
                 out = do_restore(widened)
             except Exception:

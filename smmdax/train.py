@@ -231,7 +231,7 @@ def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
             "is None: the state was built or restored under a config "
             "without EMA — rebuild via create_state(cfg, ...) or restore "
             "through CheckpointManager (which backfills the shadow)")
-    if cfg.ema_decay > 0 and g_params_ema is not None:
+    if cfg.ema_decay > 0:  # shadow's presence guaranteed by the guard
         # shadow update AFTER the optimizer step; elementwise on
         # replicated values, so it stays replicated under every DP mode
         # without a collective
