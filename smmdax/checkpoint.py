@@ -117,29 +117,50 @@ class CheckpointManager:
         * EMA now OFF, checkpoint carries a shadow -> restore with a
           shadow-shaped slot, then drop it (the live weights continue
           training; the stale shadow is discarded, not served).
+
+        Checkpoints come in three vintages (no shadows / params shadow
+        only, before the BN-stats shadow existed / both shadows), so
+        each direction tries the candidate structures in turn.
         """
         try:
             return do_restore(abstract_state)
         except Exception as exc:
             if abstract_state.g_params_ema is not None:
-                narrowed = abstract_state.replace(g_params_ema=None)
+                # EMA on now.  Params-only-shadow vintage first (the
+                # common case: a run resumed across the stats-shadow
+                # upgrade), then the fully pre-EMA vintage.
+                for narrowed in (
+                        abstract_state.replace(g_stats_ema=None),
+                        abstract_state.replace(g_params_ema=None,
+                                               g_stats_ema=None)):
+                    try:
+                        out = do_restore(narrowed)
+                    except Exception:
+                        continue
+                    if out.g_params_ema is None:
+                        out = out.replace(g_params_ema=jax.tree.map(
+                            jnp.copy, out.g_params))
+                    return out.replace(g_stats_ema=jax.tree.map(
+                        jnp.copy, out.g_batch_stats))
+                raise exc  # original mismatch was not the EMA slots
+            # EMA off now: widen with shadow-shaped slots, then drop
+            # them.  Templates only (the restored shadows are dropped
+            # below), so alias the live leaves instead of copying:
+            # works for concrete states AND abstract ShapeDtypeStruct
+            # trees (jnp.copy on the latter would raise here and mask
+            # `exc`).  Both-shadow vintage first, then params-only.
+            for widened in (
+                    abstract_state.replace(
+                        g_params_ema=abstract_state.g_params,
+                        g_stats_ema=abstract_state.g_batch_stats),
+                    abstract_state.replace(
+                        g_params_ema=abstract_state.g_params)):
                 try:
-                    out = do_restore(narrowed)
+                    out = do_restore(widened)
                 except Exception:
-                    raise exc  # original mismatch was not the EMA slot
-                return out.replace(
-                    g_params_ema=jax.tree.map(jnp.copy, out.g_params))
-            # template only (the restored shadow is dropped below), so
-            # alias the live-params leaves instead of copying: works
-            # for concrete states AND abstract ShapeDtypeStruct trees
-            # (jnp.copy on the latter would raise here and mask `exc`)
-            widened = abstract_state.replace(
-                g_params_ema=abstract_state.g_params)
-            try:
-                out = do_restore(widened)
-            except Exception:
-                raise exc
-            return out.replace(g_params_ema=None)
+                    continue
+                return out.replace(g_params_ema=None, g_stats_ema=None)
+            raise exc
 
     def restore(self, abstract_state: TrainState,
                 step: Optional[int] = None) -> Optional[TrainState]:

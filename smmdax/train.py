@@ -62,6 +62,17 @@ class TrainState(struct.PyTreeNode):
                                       # empty pytree node: jit signatures,
                                       # scan carries and orbax checkpoints
                                       # are unchanged when EMA is off)
+    g_stats_ema: Any = None           # EMA shadow of g_batch_stats, same
+                                      # recurrence: eval-mode generation
+                                      # from the weight shadow must use
+                                      # normalizer statistics of the SAME
+                                      # epoch.  Pairing the lagged weight
+                                      # shadow with LIVE BN stats
+                                      # degenerated at 160px once the
+                                      # live weights moved through a
+                                      # violent region (CelebA r5 run:
+                                      # EMA KID 0.137 -> 1.65 while live
+                                      # stayed at 0.010)
 
 
 def _adam(cfg: Config) -> optax.GradientTransformation:
@@ -100,6 +111,8 @@ def create_state(cfg: Config, rng: jax.Array) -> TrainState:
         sched_fails=jnp.zeros((), jnp.int32),
         g_params_ema=(jax.tree.map(jnp.copy, g_params)
                       if cfg.ema_decay > 0 else None),
+        g_stats_ema=(jax.tree.map(jnp.copy, g_batch_stats)
+                     if cfg.ema_decay > 0 else None),
     )
 
 
@@ -220,27 +233,34 @@ def _g_update(cfg: Config, gen, disc, adam, state: TrainState,
     g_params, g_opt_state = _apply_update(
         adam, grads, state.g_params, state.g_opt_state, state.lr_g)
     g_params_ema = state.g_params_ema
-    if cfg.ema_decay > 0 and g_params_ema is None:
+    g_stats_ema = state.g_stats_ema
+    if cfg.ema_decay > 0 and (g_params_ema is None or g_stats_ema is None):
         # trace-time guard (ADVICE r4): a silently skipped EMA update
         # would serve LIVE weights from every eval path while the config
         # promises smoothed ones — fail loudly instead.  States from
-        # create_state(cfg) always carry the shadow; a pre-EMA
-        # checkpoint is backfilled on restore (CheckpointManager).
+        # create_state(cfg) always carry both shadows; a pre-EMA (or
+        # params-only-EMA) checkpoint is backfilled on restore
+        # (CheckpointManager).
         raise ValueError(
-            f"cfg.ema_decay={cfg.ema_decay} but TrainState.g_params_ema "
-            "is None: the state was built or restored under a config "
-            "without EMA — rebuild via create_state(cfg, ...) or restore "
-            "through CheckpointManager (which backfills the shadow)")
-    if cfg.ema_decay > 0:  # shadow's presence guaranteed by the guard
-        # shadow update AFTER the optimizer step; elementwise on
-        # replicated values, so it stays replicated under every DP mode
-        # without a collective
+            f"cfg.ema_decay={cfg.ema_decay} but the TrainState EMA "
+            "shadows are missing: the state was built or restored under "
+            "a config without EMA — rebuild via create_state(cfg, ...) "
+            "or restore through CheckpointManager (which backfills them)")
+    if cfg.ema_decay > 0:  # shadows' presence guaranteed by the guard
+        # shadow updates AFTER the optimizer step; elementwise on
+        # replicated values, so they stay replicated under every DP mode
+        # without a collective.  The BN-stats shadow uses the SAME
+        # recurrence so eval-mode generation pairs epoch-consistent
+        # weights and normalizer statistics.
         d = cfg.ema_decay
         g_params_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
                                     g_params_ema, g_params)
+        g_stats_ema = jax.tree.map(lambda e, s: d * e + (1.0 - d) * s,
+                                   g_stats_ema, new_stats)
     return state.replace(g_params=g_params, g_opt_state=g_opt_state,
                          g_batch_stats=new_stats,
-                         g_params_ema=g_params_ema), aux
+                         g_params_ema=g_params_ema,
+                         g_stats_ema=g_stats_ema), aux
 
 
 # ---------------------------------------------------------------------------
@@ -822,19 +842,31 @@ def _cached_sample_program(cfg: Config, n: int) -> Callable:
 def eval_g_params(state: TrainState):
     """Generator params for eval-mode generation (scoring, sample grids,
     serving export): the EMA shadow when one is tracked (cfg.ema_decay >
-    0), else the live params.  BN batch_stats always come from the live
-    generator — the standard EMA discipline (the shadow smooths weights,
-    not normalizer statistics)."""
+    0), else the live params."""
     return state.g_params if state.g_params_ema is None else state.g_params_ema
+
+
+def eval_g_stats(state: TrainState):
+    """BN batch_stats matching ``eval_g_params``: the stats shadow when
+    one is tracked, else the live running averages.  The shadow pair
+    evolves under the same recurrence, so the weights and normalizer
+    statistics served together are always of the same epoch — pairing
+    the lagged weight shadow with live stats degenerated at 160px (see
+    TrainState.g_stats_ema)."""
+    return (state.g_batch_stats if state.g_stats_ema is None
+            else state.g_stats_ema)
 
 
 def sample(cfg: Config, state: TrainState, rng: jax.Array, n: int,
            use_ema: bool = True) -> Array:
-    """Generate n images (eval mode: running BN averages; EMA weights
-    when tracked unless ``use_ema=False``)."""
+    """Generate n images (eval mode: running BN averages; EMA weights +
+    EMA stats when tracked unless ``use_ema=False``)."""
     prog = _cached_sample_program(cfg, n)
-    params = eval_g_params(state) if use_ema else state.g_params
-    return prog(params, state.g_batch_stats, rng)
+    if use_ema:
+        params, stats = eval_g_params(state), eval_g_stats(state)
+    else:
+        params, stats = state.g_params, state.g_batch_stats
+    return prog(params, stats, rng)
 
 
 def interpolate(cfg: Config, state: TrainState, rng: jax.Array,
@@ -853,5 +885,8 @@ def interpolate(cfg: Config, state: TrainState, rng: jax.Array,
     t = jnp.linspace(0.0, 1.0, cols)[None, :, None]       # (1, cols, 1)
     z = z0[:, None, :] * (1.0 - t) + z1[:, None, :] * t   # (rows, cols, z)
     z = z.reshape(rows * cols, cfg.z_dim)
-    params = eval_g_params(state) if use_ema else state.g_params
-    return gen_batch(params, state.g_batch_stats, z)
+    if use_ema:
+        params, stats = eval_g_params(state), eval_g_stats(state)
+    else:
+        params, stats = state.g_params, state.g_batch_stats
+    return gen_batch(params, stats, z)

@@ -17,7 +17,7 @@ from smmdax.configs import Config
 from smmdax.data import make_dataset
 from smmdax.data.pipeline import macro_batches
 from smmdax.train import (TrainState, create_state, eval_g_params,
-                          jit_train_step, make_mesh, sample)
+                          eval_g_stats, jit_train_step, make_mesh, sample)
 
 
 def _tiny_cfg(**kw):
@@ -136,6 +136,67 @@ def test_ema_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_ema_stats_shadow_recurrence_and_eval_pairing():
+    """The BN-stats shadow follows the same recurrence as the weight
+    shadow, and eval-mode generation serves the (weights, stats) shadow
+    PAIR — pairing the lagged weight shadow with LIVE running stats
+    degenerated at 160px once training moved through a violent region
+    (BASELINE.md r5 CelebA row: EMA KID 0.137 -> 1.65, live 0.010)."""
+    cfg = _tiny_cfg(ema_decay=0.5)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    expected = jax.tree.map(np.asarray, state.g_batch_stats)  # e_0 = s_0
+    d = cfg.ema_decay
+    for batch in _batches(cfg, 3):
+        state, _ = step(state, batch)
+        s = jax.tree.map(np.asarray, state.g_batch_stats)
+        expected = jax.tree.map(lambda e, q: d * e + (1 - d) * q,
+                                expected, s)
+    got = jax.tree.map(np.asarray, state.g_stats_ema)
+    assert jax.tree.leaves(got)  # the tiny generator does carry BN stats
+    for e, g in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(e, g, rtol=1e-5, atol=1e-6)
+    assert eval_g_stats(state) is state.g_stats_ema
+    # sample(use_ema=True) is exactly "live slots swapped for the pair"
+    rng = jax.random.PRNGKey(3)
+    paired = state.replace(g_params=state.g_params_ema,
+                           g_batch_stats=state.g_stats_ema,
+                           g_params_ema=None, g_stats_ema=None)
+    np.testing.assert_array_equal(
+        np.asarray(sample(cfg, state, rng, 8)),
+        np.asarray(sample(cfg, paired, rng, 8)))
+
+
+def test_restore_params_only_ema_checkpoint_backfills_stats(tmp_path):
+    """Vintage bridge: checkpoints written before the BN-stats shadow
+    existed carry g_params_ema but no g_stats_ema — restore keeps the
+    params shadow bit-for-bit and backfills the stats shadow from the
+    restored live running averages, then the resumed step runs."""
+    cfg = _tiny_cfg(ema_decay=0.5)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    state, _ = step(state, _batches(cfg, 1)[0])
+    vintage = state.replace(g_stats_ema=None)      # the old structure
+    mgr = CheckpointManager(os.path.join(str(tmp_path), "ck"))
+    mgr.save(1, vintage, wait=True)
+    mgr.save_best(vintage)
+
+    abstract = create_state(cfg, jax.random.PRNGKey(0))
+    for restored in (mgr.restore(abstract), mgr.restore_best(abstract)):
+        assert restored is not None
+        for a, b in zip(jax.tree.leaves(state.g_params_ema),
+                        jax.tree.leaves(restored.g_params_ema)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for s, e in zip(jax.tree.leaves(restored.g_batch_stats),
+                        jax.tree.leaves(restored.g_stats_ema)):
+            np.testing.assert_array_equal(np.asarray(s), np.asarray(e))
+    restored = mgr.restore(abstract)
+    mgr.close()
+    cont, m = step(restored, _batches(cfg, 1)[0])
+    assert np.isfinite(float(m["d_loss_mmd2"]))
+    assert cont.g_stats_ema is not None
+
+
 def test_ema_missing_shadow_raises_at_trace():
     """ADVICE r4: ema_decay > 0 with a shadowless state must fail
     loudly at trace time, not silently serve live weights."""
@@ -143,7 +204,7 @@ def test_ema_missing_shadow_raises_at_trace():
     state = create_state(cfg, jax.random.PRNGKey(0)).replace(
         g_params_ema=None)  # e.g. built under a different cfg
     step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
-    with pytest.raises(ValueError, match="g_params_ema"):
+    with pytest.raises(ValueError, match="EMA shadow"):
         step(state, _batches(cfg, 1)[0])
 
 

@@ -47,11 +47,11 @@ def export_generator(cfg, state, batch: int,
     from jax import export as jexport
 
     from smmdax.nn import build_models
-    from smmdax.train import eval_g_params
+    from smmdax.train import eval_g_params, eval_g_stats
     gen, _ = build_models(cfg)
-    # serve the EMA shadow when the run tracked one (cfg.ema_decay > 0)
+    # serve the EMA shadow pair when the run tracked one (ema_decay > 0)
     g_params = jax.device_get(eval_g_params(state))
-    g_stats = jax.device_get(state.g_batch_stats)
+    g_stats = jax.device_get(eval_g_stats(state))
 
     def serve(z):
         return gen.apply({"params": g_params, "batch_stats": g_stats},
