@@ -118,49 +118,97 @@ class CheckpointManager:
           shadow-shaped slot, then drop it (the live weights continue
           training; the stale shadow is discarded, not served).
 
-        Checkpoints come in three vintages (no shadows / params shadow
-        only, before the BN-stats shadow existed / both shadows), so
-        each direction tries the candidate structures in turn.
+        Checkpoints come in vintages (no shadows / params shadow only,
+        before the BN-stats shadow existed / both shadows), and orbax
+        distinguishes a field saved as ``None`` (key present, empty)
+        from a field that did not exist when the checkpoint was written
+        (key absent) — so each vintage needs TWO candidate templates: a
+        TrainState with the slot set to None, and a plain field dict
+        with the key genuinely absent (orbax matches key paths, not
+        container types, and the dict round-trip preserves nested
+        NamedTuple/opt-state structure — verified against a real
+        params-only-vintage 160px checkpoint).  Shadow-shaped template
+        slots alias the live leaves instead of copying: works for
+        concrete states AND abstract ShapeDtypeStruct trees (jnp.copy
+        on the latter would raise here and mask ``exc``); restored
+        values overwrite or are dropped, so aliasing is safe.
         """
+        FIELDS = list(abstract_state.__dataclass_fields__)
+
+        _KEEP_NONE = object()   # key present with a None value (a slot
+                                # saved by an EMA-off run of newer code)
+
+        def dict_template(**slots):
+            d = {n: getattr(abstract_state, n) for n in FIELDS}
+            for k, v in slots.items():
+                if v is None:
+                    d.pop(k)            # key genuinely absent on disk
+                elif v is _KEEP_NONE:
+                    d[k] = None
+                else:
+                    d[k] = v
+            return d
+
+        def as_state(out) -> TrainState:
+            if isinstance(out, dict):
+                return abstract_state.replace(
+                    **{k: v for k, v in out.items()})
+            return out
+
         try:
             return do_restore(abstract_state)
         except Exception as exc:
             if abstract_state.g_params_ema is not None:
-                # EMA on now.  Params-only-shadow vintage first (the
-                # common case: a run resumed across the stats-shadow
-                # upgrade), then the fully pre-EMA vintage.
-                for narrowed in (
-                        abstract_state.replace(g_stats_ema=None),
-                        abstract_state.replace(g_params_ema=None,
-                                               g_stats_ema=None)):
-                    try:
-                        out = do_restore(narrowed)
-                    except Exception:
-                        continue
-                    if out.g_params_ema is None:
-                        out = out.replace(g_params_ema=jax.tree.map(
-                            jnp.copy, out.g_params))
-                    return out.replace(g_stats_ema=jax.tree.map(
-                        jnp.copy, out.g_batch_stats))
-                raise exc  # original mismatch was not the EMA slots
-            # EMA off now: widen with shadow-shaped slots, then drop
-            # them.  Templates only (the restored shadows are dropped
-            # below), so alias the live leaves instead of copying:
-            # works for concrete states AND abstract ShapeDtypeStruct
-            # trees (jnp.copy on the latter would raise here and mask
-            # `exc`).  Both-shadow vintage first, then params-only.
-            for widened in (
-                    abstract_state.replace(
+                # EMA on now; checkpoint narrower.  Params-only vintage
+                # first (the common case: a run resumed across the
+                # stats-shadow upgrade), then fully pre-EMA; None-key
+                # form before absent-key form within each.
+                candidates = (
+                    (abstract_state.replace(g_stats_ema=None), False),
+                    (dict_template(g_stats_ema=None), False),
+                    (abstract_state.replace(g_params_ema=None,
+                                            g_stats_ema=None), True),
+                    (dict_template(g_params_ema=None,
+                                   g_stats_ema=None), True),
+                    # EMA-off checkpoint from stats-shadow-less code:
+                    # params slot saved as None, stats key absent
+                    (dict_template(g_params_ema=_KEEP_NONE,
+                                   g_stats_ema=None), True),
+                )
+            else:
+                # EMA off now; checkpoint carries shadows to drop.
+                # Both-shadow vintage, then params-only (None-key and
+                # absent-key stats forms).
+                candidates = (
+                    (abstract_state.replace(
                         g_params_ema=abstract_state.g_params,
-                        g_stats_ema=abstract_state.g_batch_stats),
-                    abstract_state.replace(
-                        g_params_ema=abstract_state.g_params)):
+                        g_stats_ema=abstract_state.g_batch_stats), False),
+                    (abstract_state.replace(
+                        g_params_ema=abstract_state.g_params), False),
+                    (dict_template(g_params_ema=abstract_state.g_params,
+                                   g_stats_ema=None), False),
+                    # ...and fully pre-EMA absent-key checkpoints (the
+                    # direct attempt fails on None-key-vs-absent-key)
+                    (dict_template(g_params_ema=None,
+                                   g_stats_ema=None), False),
+                    # ...and EMA-off checkpoints from stats-shadow-less
+                    # code (params slot saved as None, stats key absent)
+                    (dict_template(g_params_ema=_KEEP_NONE,
+                                   g_stats_ema=None), False),
+                )
+            for cand, backfill_params in candidates:
                 try:
-                    out = do_restore(widened)
+                    out = as_state(do_restore(cand))
                 except Exception:
                     continue
-                return out.replace(g_params_ema=None, g_stats_ema=None)
-            raise exc
+                if abstract_state.g_params_ema is None:
+                    return out.replace(g_params_ema=None, g_stats_ema=None)
+                if backfill_params or out.g_params_ema is None:
+                    out = out.replace(g_params_ema=jax.tree.map(
+                        jnp.copy, out.g_params))
+                return out.replace(g_stats_ema=jax.tree.map(
+                    jnp.copy, out.g_batch_stats))
+            raise exc  # original mismatch was not the EMA slots
 
     def restore(self, abstract_state: TrainState,
                 step: Optional[int] = None) -> Optional[TrainState]:
