@@ -197,6 +197,55 @@ def test_restore_params_only_ema_checkpoint_backfills_stats(tmp_path):
     assert cont.g_stats_ema is not None
 
 
+def test_restore_absent_key_vintage_checkpoints(tmp_path):
+    """Checkpoints written by code where an EMA field did not EXIST
+    lack the key entirely on disk — orbax treats that differently from
+    a key saved with a None value, so the migration's dict-template
+    candidates must bridge it (found against a real pre-stats-shadow
+    160px checkpoint).  Simulated here by saving plain field dicts with
+    the keys genuinely absent."""
+    import orbax.checkpoint as ocp
+
+    cfg = _tiny_cfg(ema_decay=0.5)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg, cfg.dsteps, cfg.gsteps)
+    state, _ = step(state, _batches(cfg, 1)[0])
+
+    fields = {n: getattr(state, n) for n in state.__dataclass_fields__}
+    params_only = {k: v for k, v in fields.items() if k != "g_stats_ema"}
+    pre_ema = {k: v for k, v in fields.items()
+               if k not in ("g_params_ema", "g_stats_ema")}
+    mgr = CheckpointManager(os.path.join(str(tmp_path), "ck"))
+    mgr._mgr.save(1, args=ocp.args.StandardSave(params_only))
+    mgr._mgr.save(2, args=ocp.args.StandardSave(pre_ema))
+    mgr._mgr.wait_until_finished()
+
+    abstract = create_state(cfg, jax.random.PRNGKey(0))
+    # params-only vintage: shadow kept bit-for-bit, stats backfilled
+    r1 = mgr.restore(abstract, step=1)
+    for a, b in zip(jax.tree.leaves(state.g_params_ema),
+                    jax.tree.leaves(r1.g_params_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for s, e in zip(jax.tree.leaves(r1.g_batch_stats),
+                    jax.tree.leaves(r1.g_stats_ema)):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(e))
+    # pre-EMA vintage: BOTH shadows backfilled from the restored state
+    r2 = mgr.restore(abstract, step=2)
+    for p, e in zip(jax.tree.leaves(r2.g_params),
+                    jax.tree.leaves(r2.g_params_ema)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
+    # and into an EMA-off config both vintages restore shadow-free
+    cfg_off = _tiny_cfg(ema_decay=0.0)
+    abstract_off = create_state(cfg_off, jax.random.PRNGKey(0))
+    for s in (1, 2):
+        r = mgr.restore(abstract_off, step=s)
+        assert r.g_params_ema is None and r.g_stats_ema is None
+        for a, b in zip(jax.tree.leaves(state.g_params),
+                        jax.tree.leaves(r.g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
 def test_ema_missing_shadow_raises_at_trace():
     """ADVICE r4: ema_decay > 0 with a shadowless state must fail
     loudly at trace time, not silently serve live weights."""
